@@ -1,0 +1,176 @@
+"""Batched ADMM QP solver (OSQP-style splitting) — the node-relaxation
+engine of the MIQP solver (SURVEY.md §2b ``kernels/qp_admm``; replaces the
+reference stack's Gurobi QP core + cvxcore).
+
+Problem form (everything the condensation layer emits maps onto this):
+
+    min ½ xᵀP x + qᵀx   s.t.   l ≤ A x ≤ u,   A = [G; I]
+
+so one constraint block carries the stage constraints (G x ≤ h ⇒ l=−∞,u=h)
+and one carries the box (lb ≤ x ≤ ub) — B&B nodes tighten ONLY l,u rows of
+the box block, so the KKT matrix K = P + σI + ρ AᵀA is *shared by every
+node of every control step* and is inverted once on the host in float64.
+Each ADMM iteration is then three dense matmuls:
+
+    x̃ ← K⁻¹ (σ x − q + Aᵀ(ρ z − y))      (B,n)  = (B,m̄)(m̄,n)(n,n)
+    z̃ ← A x̃                              (B,m̄) = (B,n)(n,m̄)
+    z  ← Π_[l,u](α z̃ + (1−α) z + y/ρ);   y ← y + ρ(α z̃ + (1−α) z_old − z)
+
+which batch over B&B nodes / scenarios as MXU matmuls — this is why the
+TPU form of branch-and-bound is wave-parallel (SURVEY.md §2b).
+
+Fixed iteration count (lock-step, no host sync, XLA-static); final primal/
+dual residuals are returned so callers can detect non-converged or
+infeasible nodes (big-M nodes with contradictory fixed binaries do not
+converge — their primal residual stays large).
+
+Row equilibration: constraint rows of A are scaled to ~unit ∞-norm on the
+host (cheap Ruiz-style row pass) which is what makes a single scalar ρ
+workable across big-M rows.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyhybridcontrol_tpu.ops.condense import CondensedMpc
+
+BIG = 1e30
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BoxQP:
+    """Prepared ADMM problem data (pytree of device arrays).
+
+    Static per (condensed problem, ρ, σ): P, A (row-scaled), K⁻¹, scales.
+    Per-solve data (q, h, lb, ub) is passed to ``admm_solve``.
+    """
+
+    P: jnp.ndarray          # (n, n) original quadratic
+    A: jnp.ndarray          # (m̄, n) scaled stacked constraint matrix
+    Kinv: jnp.ndarray       # (n, n) inverse of P + σI + ρ AᵀA
+    row_scale: jnp.ndarray  # (m̄,) s: scaled constraint = s ⊙ (Ax)
+    rho: float = dataclasses.field(metadata=dict(static=True))
+    sigma: float = dataclasses.field(metadata=dict(static=True))
+    alpha: float = dataclasses.field(metadata=dict(static=True))
+    m_ineq: int = dataclasses.field(metadata=dict(static=True))  # rows of G
+    # TPU matmul precision: fp32 data + DEFAULT precision means bf16 MXU
+    # passes — fatal for ADMM convergence. "highest" = fp32-equivalent
+    # (6-pass bf16 decomposition); "high" = 3-pass, usually sufficient.
+    precision: str = dataclasses.field(
+        default="highest", metadata=dict(static=True))
+
+    @property
+    def n(self) -> int:
+        return self.P.shape[-1]
+
+    @property
+    def m_total(self) -> int:
+        return self.A.shape[-2]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class AdmmResult:
+    x: jnp.ndarray        # (..., n) primal solution
+    obj: jnp.ndarray      # (...,) ½xᵀPx + qᵀx
+    r_prim: jnp.ndarray   # (...,) ∞-norm primal residual (scaled rows)
+    r_dual: jnp.ndarray   # (...,) ∞-norm dual residual
+    y: jnp.ndarray        # (..., m̄) dual (scaled) — for warm starts
+    z: jnp.ndarray        # (..., m̄)
+
+
+def prepare_admm(G: np.ndarray, H: np.ndarray, *, rho: float = 1.0,
+                 sigma: float = 1e-6, alpha: float = 1.6,
+                 dtype=jnp.float32, precision: str = "highest") -> BoxQP:
+    """Host-side (float64) preparation: row scaling + K⁻¹ factorization."""
+    G = np.asarray(G, dtype=np.float64)
+    H = np.asarray(H, dtype=np.float64)
+    m, n = G.shape
+    # row equilibration of G block (box rows keep scale 1)
+    norms = np.maximum(np.abs(G).max(axis=1), 1e-10)
+    s = np.concatenate([1.0 / norms, np.ones(n)])
+    A = np.vstack([G / norms[:, None], np.eye(n)])
+    K = H + sigma * np.eye(n) + rho * (A.T @ A)
+    Kinv = np.linalg.inv(K)
+    return BoxQP(
+        P=jnp.asarray(H, dtype),
+        A=jnp.asarray(A, dtype),
+        Kinv=jnp.asarray(Kinv, dtype),
+        row_scale=jnp.asarray(s, dtype),
+        rho=float(rho), sigma=float(sigma), alpha=float(alpha), m_ineq=m,
+        precision=precision,
+    )
+
+
+def prepare_admm_mpc(cmpc: CondensedMpc, **kw) -> BoxQP:
+    """Prepare the ADMM data for a condensed MPC problem."""
+    return prepare_admm(cmpc.G, cmpc.H, **kw)
+
+
+def _bounds(spec: BoxQP, h, lb, ub):
+    """Stacked, row-scaled [l, u] for constraint block + box block."""
+    s = spec.row_scale
+    m = spec.m_ineq
+    l = jnp.concatenate([jnp.full(h.shape[:-1] + (m,), -BIG, h.dtype),
+                         lb], axis=-1)
+    u = jnp.concatenate([h * s[:m], ub], axis=-1)
+    return l, u
+
+
+def admm_solve(spec: BoxQP, q, h, lb, ub, iters: int = 100,
+               warm: Optional[Tuple[jnp.ndarray, ...]] = None) -> AdmmResult:
+    """Solve one (or a leading-batch of) box-QPs with ``iters`` fixed ADMM
+    iterations. All of q/h/lb/ub may carry identical leading batch dims.
+    Pure jnp: jit/vmap/shard_map-compatible.
+    """
+    rho, alpha, sigma = spec.rho, spec.alpha, spec.sigma
+    l, u = _bounds(spec, h, lb, ub)
+    batch = q.shape[:-1]
+    n, mt = spec.n, spec.m_total
+    if warm is None:
+        x = jnp.zeros(batch + (n,), q.dtype)
+        z = jnp.clip(jnp.zeros(batch + (mt,), q.dtype), l, u)
+        y = jnp.zeros(batch + (mt,), q.dtype)
+    else:
+        x, z, y = warm
+
+    AT = spec.A.T
+    prec = spec.precision
+
+    def mm(a, b):
+        return jnp.matmul(a, b, precision=prec)
+
+    def body(_, carry):
+        x, z, y = carry
+        w = rho * z - y
+        xt = mm(sigma * x - q + mm(w, spec.A), spec.Kinv.T)
+        zt = mm(xt, AT)
+        zr = alpha * zt + (1.0 - alpha) * z
+        z_new = jnp.clip(zr + y / rho, l, u)
+        y_new = y + rho * (zr - z_new)
+        return xt, z_new, y_new
+
+    x, z, y = jax.lax.fori_loop(0, iters, body, (x, z, y))
+
+    Ax = mm(x, AT)
+    r_prim = jnp.max(jnp.abs(Ax - jnp.clip(Ax, l, u)), axis=-1)
+    dual = mm(x, spec.P.T) + q + mm(y, spec.A)
+    r_dual = jnp.max(jnp.abs(dual), axis=-1)
+    obj = (0.5 * jnp.sum(x * mm(x, spec.P.T), axis=-1)
+           + jnp.sum(q * x, axis=-1))
+    return AdmmResult(x=x, obj=obj, r_prim=r_prim, r_dual=r_dual, y=y, z=z)
+
+
+def admm_solve_batch(spec: BoxQP, q, h, lb, ub, iters: int = 100):
+    """Explicit-batch convenience: q (B,n) or (n,), lb/ub (B,n)."""
+    B = lb.shape[0]
+    qb = jnp.broadcast_to(q, (B,) + q.shape[-1:]) if q.ndim == 1 else q
+    hb = jnp.broadcast_to(h, (B,) + h.shape[-1:]) if h.ndim == 1 else h
+    return admm_solve(spec, qb, hb, lb, ub, iters=iters)

@@ -1,0 +1,221 @@
+"""TPU-resident branch-and-bound MIQP engine (SURVEY.md §2b ``solver/bnb``
+— replaces Gurobi's B&B core, redesigned for XLA's static-shape model).
+
+Design: a *fixed-capacity node pool* with an active mask instead of a
+dynamic frontier (SURVEY.md §7 "hard parts"). Each **wave** (one iteration
+of a jitted ``lax.while_loop``):
+
+  1. select the W best-bound active nodes (``lax.top_k`` — best-first),
+  2. solve their QP relaxations as ONE batched ADMM call (MXU matmuls),
+  3. solve W *probe* QPs — binaries fixed to the rounded relaxation —
+     which is the primal dive heuristic: every feasible probe is a true
+     MIQP upper bound, so the incumbent drops early and pruning bites,
+  4. prune (infeasible / bound ≥ incumbent − gap / integral relaxation),
+  5. branch the survivors on their most-fractional binary: child-0
+     overwrites the parent slot, child-1 takes a free slot (best-bound
+     children win slots on overflow; overflow is reported — the result is
+     then a certified-feasible but possibly suboptimal sequence).
+
+A node is (fix_mask, fix_val) over the binary indices — bounds tightening
+only — so the ADMM KKT inverse is shared by every node (see ops/admm.py).
+Everything is static-shape; the whole solve is one device program with no
+host round-trips. Incumbent monotonicity + bound-validity invariants are
+property-tested (SURVEY.md §4.6).
+
+Multi-device: ``parallel/sharded_bnb.py`` shards the pool over a mesh and
+all-reduces the incumbent each wave.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyhybridcontrol_tpu.ops.admm import BoxQP, admm_solve
+from pyhybridcontrol_tpu.ops.condense import DeviceQP
+
+BIG = 1e30
+
+
+@dataclasses.dataclass(frozen=True)
+class BnbSpec:
+    """Static B&B configuration."""
+
+    capacity: int = 512          # node-pool slots
+    wave_size: int = 64          # nodes relaxed per wave
+    max_waves: int = 64
+    qp_iters: int = 100
+    feas_tol: float = 1e-3       # ADMM primal-residual feasibility cut
+    int_tol: float = 1e-3        # integrality tolerance on relaxed binaries
+    gap: float = 1e-4            # absolute pruning gap margin
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BnbState:
+    fix_mask: jnp.ndarray     # (C, nb) bool
+    fix_val: jnp.ndarray      # (C, nb) f32
+    bound: jnp.ndarray        # (C,) parent relaxation lower bound
+    active: jnp.ndarray       # (C,) bool
+    depth: jnp.ndarray        # (C,) i32
+    inc_obj: jnp.ndarray      # () incumbent objective
+    inc_x: jnp.ndarray        # (n,) incumbent solution
+    inc_found: jnp.ndarray    # () bool
+    wave: jnp.ndarray         # () i32
+    nodes_solved: jnp.ndarray  # () i32
+    overflow: jnp.ndarray     # () bool
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BnbResult:
+    x: jnp.ndarray
+    obj: jnp.ndarray
+    found: jnp.ndarray
+    waves: jnp.ndarray
+    nodes_solved: jnp.ndarray
+    overflow: jnp.ndarray
+    best_open_bound: jnp.ndarray   # min bound over still-open nodes (gap)
+
+
+def _init_state(qp: DeviceQP, spec: BnbSpec, dtype) -> BnbState:
+    C, nb, n = spec.capacity, qp.n_binary, qp.n
+    return BnbState(
+        fix_mask=jnp.zeros((C, nb), bool),
+        fix_val=jnp.zeros((C, nb), dtype),
+        bound=jnp.full((C,), -BIG, dtype),
+        active=jnp.zeros((C,), bool).at[0].set(True),
+        depth=jnp.zeros((C,), jnp.int32),
+        inc_obj=jnp.asarray(BIG, dtype),
+        inc_x=jnp.zeros((n,), dtype),
+        inc_found=jnp.asarray(False),
+        wave=jnp.asarray(0, jnp.int32),
+        nodes_solved=jnp.asarray(0, jnp.int32),
+        overflow=jnp.asarray(False),
+    )
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def solve_miqp_bnb(admm: BoxQP, qp: DeviceQP, f, h,
+                   spec: BnbSpec = BnbSpec()) -> BnbResult:
+    """Solve  min ½VᵀHV + fᵀV  s.t. GV ≤ h, lb ≤ V ≤ ub, V[bidx] ∈ {0,1}
+    entirely on device. f, h from ``qp.assemble(x0, W, ...)``."""
+    nb = qp.n_binary
+    if nb == 0:
+        res = admm_solve(admm, f, h, qp.lb, qp.ub, iters=spec.qp_iters)
+        zero = jnp.asarray(0, jnp.int32)
+        return BnbResult(res.x, res.obj, res.r_prim < spec.feas_tol,
+                         zero, jnp.asarray(1, jnp.int32),
+                         jnp.asarray(False), res.obj)
+    bidx = jnp.asarray(np.asarray(qp.binary_idx, np.int32))
+    W = spec.wave_size
+    dtype = f.dtype
+    state = _init_state(qp, spec, dtype)
+
+    def node_bounds(fm, fv):
+        """(W, n) lb/ub for nodes given fixed-binary masks/values."""
+        Wb = fm.shape[0]
+        lb = jnp.broadcast_to(qp.lb, (Wb, qp.n))
+        ub = jnp.broadcast_to(qp.ub, (Wb, qp.n))
+        lb = lb.at[:, bidx].set(jnp.where(fm, fv, 0.0))
+        ub = ub.at[:, bidx].set(jnp.where(fm, fv, 1.0))
+        return lb, ub
+
+    fb = jnp.broadcast_to(f, (W, qp.n))
+    hb = jnp.broadcast_to(h, (W, qp.m))
+
+    def cond(s: BnbState):
+        return jnp.any(s.active) & (s.wave < spec.max_waves)
+
+    def body(s: BnbState) -> BnbState:
+        # -- 1. best-first selection ------------------------------------
+        pri = jnp.where(s.active, s.bound, BIG)
+        neg, sel = jax.lax.top_k(-pri, W)
+        valid = s.active[sel]
+        fm = s.fix_mask[sel]
+        fv = s.fix_val[sel]
+        parent_bound = s.bound[sel]
+
+        # -- 2. batched relaxations -------------------------------------
+        lb, ub = node_bounds(fm, fv)
+        relax = admm_solve(admm, fb, hb, lb, ub, iters=spec.qp_iters)
+        feas = relax.r_prim < spec.feas_tol
+        lower = jnp.where(valid & feas, relax.obj, BIG)
+
+        xb = relax.x[:, bidx]
+        rounded = jnp.round(jnp.clip(xb, 0.0, 1.0))
+        frac = jnp.where(fm, 0.0, jnp.abs(xb - rounded))
+        max_frac = jnp.max(frac, axis=1) if nb > 0 else jnp.zeros(W)
+        integral = max_frac < spec.int_tol
+
+        # -- 3. probe (dive): all binaries fixed to rounded -------------
+        pv = jnp.where(fm, fv, rounded)
+        ones = jnp.ones_like(fm)
+        lb_p, ub_p = node_bounds(ones, pv)
+        probe = admm_solve(admm, fb, hb, lb_p, ub_p, iters=spec.qp_iters)
+        probe_ok = (probe.r_prim < spec.feas_tol) & valid
+        probe_obj = jnp.where(probe_ok, probe.obj, BIG)
+        k = jnp.argmin(probe_obj)
+        better = probe_obj[k] < s.inc_obj
+        inc_obj = jnp.where(better, probe_obj[k], s.inc_obj)
+        inc_x = jnp.where(better, probe.x[k], s.inc_x)
+        inc_found = s.inc_found | (better & probe_ok[k])
+
+        # -- 4. prune ----------------------------------------------------
+        prune = (~valid) | (~feas) | (lower >= inc_obj - spec.gap) | integral
+        expand = valid & ~prune
+
+        # -- 5. branch ---------------------------------------------------
+        child_bound = jnp.maximum(parent_bound, jnp.where(feas, lower,
+                                                          parent_bound))
+        jstar = jnp.argmax(frac, axis=1)
+        branch_hot = jax.nn.one_hot(jstar, nb, dtype=bool)
+        cfm = fm | branch_hot
+        cfv0 = jnp.where(branch_hot, 0.0, fv)
+        cfv1 = jnp.where(branch_hot, 1.0, fv)
+        cdepth = s.depth[sel] + 1
+
+        # deactivate all selected nodes, then write child-0 into the
+        # parent slot (inactive when not expanding — scatter is unmasked
+        # but guarded by `expand` in the active flag).
+        active = s.active.at[sel].set(False)
+        fix_mask = s.fix_mask.at[sel].set(jnp.where(expand[:, None], cfm, fm))
+        fix_val = s.fix_val.at[sel].set(jnp.where(expand[:, None], cfv0, fv))
+        bound = s.bound.at[sel].set(child_bound)
+        depth = s.depth.at[sel].set(cdepth)
+        active = active.at[sel].set(expand)
+
+        # child-1 → free slots; best-bound children win on overflow.
+        free_score = jnp.where(active, -1.0, 1.0)
+        fs_val, free_slots = jax.lax.top_k(free_score, W)
+        slot_free = fs_val > 0.0
+        order = jnp.argsort(jnp.where(expand, child_bound, BIG))
+        # i-th best child → i-th free slot
+        tgt = free_slots
+        src = order
+        write_ok = slot_free & expand[src]
+        tgt_safe = jnp.where(write_ok, tgt, spec.capacity)  # drop OOB
+        fix_mask = fix_mask.at[tgt_safe].set(cfm[src], mode="drop")
+        fix_val = fix_val.at[tgt_safe].set(cfv1[src], mode="drop")
+        bound = bound.at[tgt_safe].set(child_bound[src], mode="drop")
+        depth = depth.at[tgt_safe].set(cdepth[src], mode="drop")
+        active = active.at[tgt_safe].set(True, mode="drop")
+        overflow = s.overflow | jnp.any(expand[src] & ~slot_free)
+
+        return BnbState(
+            fix_mask=fix_mask, fix_val=fix_val, bound=bound, active=active,
+            depth=depth, inc_obj=inc_obj, inc_x=inc_x, inc_found=inc_found,
+            wave=s.wave + 1,
+            nodes_solved=s.nodes_solved + jnp.sum(valid.astype(jnp.int32)),
+            overflow=overflow)
+
+    s = jax.lax.while_loop(cond, body, state)
+    best_open = jnp.min(jnp.where(s.active, s.bound, BIG))
+    return BnbResult(x=s.inc_x, obj=s.inc_obj, found=s.inc_found,
+                     waves=s.wave, nodes_solved=s.nodes_solved,
+                     overflow=s.overflow, best_open_bound=best_open)
