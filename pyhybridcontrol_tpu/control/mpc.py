@@ -1,0 +1,165 @@
+"""MpcController: the user-facing receding-horizon controller
+(functional replica of the reference's ``MpcController`` — SURVEY.md §2a:
+owns evolution matrices + weights + decision variables, assembles the
+problem, ``feedback(x0, …) → solve MIQP → first input``).
+
+TPU-native redesign: instead of CVXPY variables + a Gurobi call, ``build``
+condenses once (host fp64 → DeviceQP) and compiles a jitted device
+feedback function; ``feedback`` is then a single device-program call.
+Derived data is version-cached: rebuilds happen only when the horizon,
+weights, or transforms change (the reference's versioning-mixin role).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyhybridcontrol_tpu.mld.model import MldModel
+from pyhybridcontrol_tpu.ops.admm import prepare_admm_mpc
+from pyhybridcontrol_tpu.ops.condense import CondensedMpc, MpcWeights
+from pyhybridcontrol_tpu.solver.bnb import BnbSpec, solve_miqp_bnb
+from pyhybridcontrol_tpu.solver.enumerate import solve_miqp_enumerate_device
+from pyhybridcontrol_tpu.utils.structdict import StructDict
+
+
+class MpcController:
+    def __init__(self, model: MldModel, N: int,
+                 weights: Optional[MpcWeights] = None,
+                 solver: str = "bnb",
+                 bnb_spec: Optional[BnbSpec] = None,
+                 qp_iters: int = 150,
+                 rho: float = 1.0):
+        self.model = model
+        self.N = N
+        self.weights = weights or MpcWeights()
+        self.solver = solver
+        self.bnb_spec = bnb_spec or BnbSpec(qp_iters=qp_iters)
+        self.qp_iters = qp_iters
+        self.rho = rho
+        self._soft = None          # (rows, lin_pen, quad_pen)
+        self._blocking = None      # groups
+        self._terminal = None      # (E_N, f_N)
+        self._extra = None         # (A_v, b, B_x, B_w)
+        self._built_version = None
+        self._version = 0
+        self._cmpc = None
+        self._qp = None
+        self._admm = None
+
+    # -- configuration (each bumps the version → lazy rebuild) -----------
+    def set_std_obj_weights(self, **kw) -> "MpcController":
+        """Update per-class weights (reference ``set_std_obj_weights``)."""
+        for k, v in kw.items():
+            if not hasattr(self.weights, k):
+                raise AttributeError(f"unknown weight {k!r}")
+            setattr(self.weights, k, v)
+        self._version += 1
+        return self
+
+    def set_horizon(self, N: int) -> "MpcController":
+        self.N = N
+        self._version += 1
+        return self
+
+    def set_soft_constraints(self, rows: Sequence[int], lin_pen=1e3,
+                             quad_pen=0.0) -> "MpcController":
+        self._soft = (list(rows), lin_pen, quad_pen)
+        self._version += 1
+        return self
+
+    def set_move_blocking(self, groups: Sequence[int]) -> "MpcController":
+        self._blocking = list(groups)
+        self._version += 1
+        return self
+
+    def set_terminal_constraint(self, E_N, f_N) -> "MpcController":
+        self._terminal = (np.asarray(E_N), np.asarray(f_N))
+        self._version += 1
+        return self
+
+    def set_extra_constraints(self, A_v, b, B_x=None, B_w=None
+                              ) -> "MpcController":
+        """Horizon-coupled rows in full-v layout (e.g. min-up/down
+        unit-commitment logic — models/dewh.py ``min_up_down_rows``)."""
+        self._extra = (np.asarray(A_v), np.asarray(b), B_x, B_w)
+        self._version += 1
+        return self
+
+    # -- build -------------------------------------------------------------
+    def build(self) -> "MpcController":
+        """Condense + prepare solver data (idempotent per version)."""
+        if self._built_version == self._version and self._cmpc is not None:
+            return self
+        term = dict()
+        if self._terminal is not None:
+            term = dict(terminal_E=self._terminal[0],
+                        terminal_f=self._terminal[1])
+        c = CondensedMpc(self.model, self.N, self.weights, **term)
+        if self._extra is not None:
+            A_v, b, B_x, B_w = self._extra
+            c = c.with_extra_constraints(A_v, b, B_x, B_w)
+        if self._blocking is not None:
+            c = c.with_move_blocking(self._blocking)
+        if self._soft is not None:
+            rows, lin, quad = self._soft
+            c = c.with_soft_constraints(rows, lin, quad)
+        self._cmpc = c
+        self._qp = c.device_qp()
+        self._admm = prepare_admm_mpc(c, rho=self.rho)
+        self._built_version = self._version
+        return self
+
+    @property
+    def condensed(self) -> CondensedMpc:
+        self.build()
+        return self._cmpc
+
+    @property
+    def device_qp(self):
+        self.build()
+        return self._qp
+
+    @property
+    def admm(self):
+        self.build()
+        return self._admm
+
+    # -- feedback ----------------------------------------------------------
+    def feedback(self, x0, omega_forecast=None, price_seq=None,
+                 u_prev=None) -> StructDict:
+        """One control step: measure → solve MIQP → first input.
+
+        Returns StructDict(u, delta, z, v_seq, obj, found, nodes).
+        """
+        self.build()
+        qp, admm = self._qp, self._admm
+        x0 = jnp.asarray(x0, jnp.float32)
+        W = (jnp.asarray(omega_forecast, jnp.float32)
+             if omega_forecast is not None else None)
+        Pq = (jnp.asarray(price_seq, jnp.float32)
+              if price_seq is not None else None)
+        up = (jnp.asarray(u_prev, jnp.float32)
+              if u_prev is not None else None)
+        f, h = qp.assemble(x0, W, up, Pq)
+        if self.solver == "bnb":
+            res = solve_miqp_bnb(admm, qp, f, h, self.bnb_spec)
+            x, obj, found = res.x, res.obj, res.found
+            nodes = res.nodes_solved
+        elif self.solver == "enumerate":
+            x, obj, _, feas = solve_miqp_enumerate_device(
+                admm, qp, f, h, iters=self.qp_iters)
+            found = jnp.any(feas)
+            nodes = jnp.asarray(2 ** qp.n_binary, jnp.int32)
+        else:
+            raise ValueError(f"unknown solver {self.solver!r}")
+        v_seq = qp.full_v(x)
+        info = self.model.info
+        v0 = v_seq[0]
+        return StructDict(
+            u=v0[info.u_slice], delta=v0[info.delta_slice],
+            z=v0[info.z_slice], v_seq=v_seq, obj=obj, found=found,
+            nodes=nodes)

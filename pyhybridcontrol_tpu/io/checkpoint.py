@@ -1,0 +1,63 @@
+"""Checkpoint/resume (SURVEY.md §5): snapshot closed-loop / B&B state so
+long scenario studies and multi-host runs resume after failure.
+
+The reference has no checkpointing (re-runs from scratch); here any
+pytree (BnbState, ClosedLoopResult, custom study state) serializes via
+flax's msgpack with an atomic write-rename, plus a step counter and
+user metadata. Multi-host: each process writes its own shard file
+(``…-procNNN``) — restore with the same process count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def save_checkpoint(path: str, state: Any, step: int = 0,
+                    metadata: Optional[dict] = None,
+                    process_index: Optional[int] = None) -> str:
+    """Atomically serialize ``state`` (any pytree) to ``path``."""
+    if process_index is None and jax.process_count() > 1:
+        process_index = jax.process_index()
+    if process_index is not None:
+        path = f"{path}-proc{process_index:03d}"
+    host_state = jax.tree_util.tree_map(np.asarray, state)
+    blob = serialization.to_bytes(host_state)
+    meta = json.dumps({"step": int(step), "meta": metadata or {}}).encode()
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(os.path.abspath(path)))
+    try:
+        with os.fdopen(fd, "wb") as fp:
+            fp.write(len(meta).to_bytes(8, "little"))
+            fp.write(meta)
+            fp.write(blob)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+    return path
+
+
+def load_checkpoint(path: str, target: Any,
+                    process_index: Optional[int] = None
+                    ) -> Tuple[Any, int, dict]:
+    """Restore (state, step, metadata); ``target`` supplies the pytree
+    structure (e.g. a freshly-initialized state)."""
+    if process_index is None and jax.process_count() > 1:
+        process_index = jax.process_index()
+    if process_index is not None:
+        path = f"{path}-proc{process_index:03d}"
+    with open(path, "rb") as fp:
+        mlen = int.from_bytes(fp.read(8), "little")
+        meta = json.loads(fp.read(mlen).decode())
+        blob = fp.read()
+    state = serialization.from_bytes(target, blob)
+    return state, meta["step"], meta["meta"]

@@ -1,0 +1,115 @@
+"""Receding-horizon closed-loop engine (SURVEY.md §3.4 redesigned):
+the reference's per-step Python loop (feedback → Gurobi → apply → log)
+becomes ONE jitted device program — a ``lax.scan`` over control steps with
+the MIQP solver (B&B or enumeration) inlined — and batches over scenarios
+with ``vmap`` (BASELINE config 4: 1024 instances/chip). The host only
+supplies x0/disturbances and reads back stacked logs.
+
+Logs are device arrays stacked over time (SURVEY.md §5 observability):
+state/input/δ/z trajectories, per-step MIQP objective, node counts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from pyhybridcontrol_tpu.mld.model import MldModel
+from pyhybridcontrol_tpu.ops.admm import BoxQP
+from pyhybridcontrol_tpu.ops.condense import DeviceQP
+from pyhybridcontrol_tpu.solver.bnb import BnbSpec, solve_miqp_bnb
+from pyhybridcontrol_tpu.solver.enumerate import (
+    _all_assignments, _enumerate_solve)
+
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ClosedLoopResult:
+    xs: jnp.ndarray        # (T+1, nx) state trajectory
+    vs: jnp.ndarray        # (T, nv) applied per-step decision [u; δ; z]
+    ys: jnp.ndarray        # (T, ny) outputs
+    objs: jnp.ndarray      # (T,) per-step MIQP objective (no offset)
+    found: jnp.ndarray     # (T,) solver reported a feasible incumbent
+    nodes: jnp.ndarray     # (T,) B&B nodes solved (0 for enumeration)
+
+
+def make_mpc_step(model: MldModel, qp: DeviceQP, admm: BoxQP,
+                  method: str = "bnb",
+                  bnb_spec: Optional[BnbSpec] = None,
+                  qp_iters: int = 100) -> Callable:
+    """Build the single-control-step function
+    ``step(x, W, price_seq, u_prev) -> (v_seq (N,nv), obj, found, nodes)``.
+
+    ``method``: "bnb" (TPU B&B) or "enumerate" (exact, 2^nb batched QPs).
+    Pure jnp — jit/vmap/scan/shard_map composable.
+    """
+    spec = bnb_spec or BnbSpec()
+    if method == "enumerate":
+        assignments = jnp.asarray(_all_assignments(qp.n_binary))
+
+    def step(x, W=None, price_seq=None, u_prev=None):
+        f, h = qp.assemble(x, W, u_prev, price_seq)
+        if method == "bnb":
+            res = solve_miqp_bnb(admm, qp, f, h, spec)
+            v_seq = qp.full_v(res.x)
+            return v_seq, res.obj, res.found, res.nodes_solved
+        elif method == "enumerate":
+            xV, obj, _, feas = _enumerate_solve(
+                admm, qp, f, h, assignments, iters=qp_iters)
+            v_seq = qp.full_v(xV)
+            return v_seq, obj, jnp.any(feas), jnp.asarray(0, jnp.int32)
+        else:
+            raise ValueError(f"unknown method {method!r}")
+
+    return step
+
+
+@partial(jax.jit, static_argnames=("mpc_step", "T"))
+def _closed_loop_scan(model: MldModel, mpc_step, x0, T: int,
+                      omega_traj, price_traj, u_prev0):
+    info = model.info
+
+    def body(carry, k):
+        x, u_prev = carry
+        W = (jax.lax.dynamic_slice_in_dim(omega_traj, k, omega_traj.shape[0] - T)
+             if omega_traj is not None else None)
+        P = (jax.lax.dynamic_slice_in_dim(price_traj, k, price_traj.shape[0] - T)
+             if price_traj is not None else None)
+        v_seq, obj, found, nodes = mpc_step(x, W, P, u_prev)
+        v0 = v_seq[0]
+        u, d, z = info.split_v(v0)
+        w_k = omega_traj[k] if omega_traj is not None else None
+        y = model.output(x, u, d, z, w_k)
+        x_next = model.step(x, u, d, z, w_k)
+        return (x_next, u), (x_next, v0, y, obj, found, nodes)
+
+    (xT, _), (xs, vs, ys, objs, found, nodes) = jax.lax.scan(
+        body, (x0, u_prev0), jnp.arange(T))
+    xs = jnp.concatenate([x0[None], xs], axis=0)
+    return ClosedLoopResult(xs=xs, vs=vs, ys=ys, objs=objs, found=found,
+                            nodes=nodes)
+
+
+def closed_loop(model: MldModel, mpc_step, x0, T: int,
+                omega_traj=None, price_traj=None,
+                u_prev0=None) -> ClosedLoopResult:
+    """Run a T-step receding-horizon simulation fully on device.
+
+    ``omega_traj``: (T+N, nomega) actual disturbances — the controller
+    sees the next-N window at each step (perfect forecast; pass a
+    different forecast model by wrapping ``mpc_step``).
+    ``price_traj``: (T+N, nv) per-step linear cost sequence (e.g. TOU
+    tariffs on selected v entries).
+    Batched scenarios: vmap over x0 / omega_traj leading axes.
+    """
+    if u_prev0 is None:
+        u_prev0 = jnp.zeros((model.info.nu,),
+                            x0.dtype if hasattr(x0, "dtype") else jnp.float32)
+    return _closed_loop_scan(model, mpc_step, x0, T, omega_traj, price_traj,
+                             u_prev0)

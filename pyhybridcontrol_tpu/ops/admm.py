@@ -48,14 +48,21 @@ BIG = 1e30
 class BoxQP:
     """Prepared ADMM problem data (pytree of device arrays).
 
-    Static per (condensed problem, ρ, σ): P, A (row-scaled), K⁻¹, scales.
-    Per-solve data (q, h, lb, ub) is passed to ``admm_solve``.
+    Static per (condensed problem, ρ, σ): Ruiz-scaled P̂, Â, K⁻¹ and the
+    D/E/c scalings (ops/scaling.py). Per-solve data (q, h, lb, ub) is
+    passed to ``admm_solve`` in ORIGINAL units and scaled on the fly
+    (two cheap elementwise ops — the iteration loop runs fully scaled).
     """
 
-    P: jnp.ndarray          # (n, n) original quadratic
-    A: jnp.ndarray          # (m̄, n) scaled stacked constraint matrix
-    Kinv: jnp.ndarray       # (n, n) inverse of P + σI + ρ AᵀA
-    row_scale: jnp.ndarray  # (m̄,) s: scaled constraint = s ⊙ (Ax)
+    P: jnp.ndarray          # (n, n) scaled quadratic  P̂ = c·DPD
+    A: jnp.ndarray          # (m̄, n) scaled stacked constraints  Â = E[A]D
+    Kinv: jnp.ndarray       # (n, n) inverse of P̂ + σI + ρ ÂᵀÂ
+    D: jnp.ndarray          # (n,) column scaling, x = D x̂
+    E: jnp.ndarray          # (m̄,) row scaling over [G; I]
+    cost_scale: jnp.ndarray  # () scalar c
+    rho_vec: jnp.ndarray    # (m̄,) per-row ρ (binary box rows get the
+    #                         OSQP equality-row boost — they become l==u
+    #                         at every fixed-binary B&B node)
     rho: float = dataclasses.field(metadata=dict(static=True))
     sigma: float = dataclasses.field(metadata=dict(static=True))
     alpha: float = dataclasses.field(metadata=dict(static=True))
@@ -80,7 +87,9 @@ class BoxQP:
 class AdmmResult:
     x: jnp.ndarray        # (..., n) primal solution
     obj: jnp.ndarray      # (...,) ½xᵀPx + qᵀx
-    r_prim: jnp.ndarray   # (...,) ∞-norm primal residual (scaled rows)
+    r_prim: jnp.ndarray   # (...,) ∞-norm primal residual (original units)
+    r_prim_rel: jnp.ndarray  # (...,) r_prim / max(1, |Ax|∞) — the
+    #                          scale-invariant feasibility measure
     r_dual: jnp.ndarray   # (...,) ∞-norm dual residual
     y: jnp.ndarray        # (..., m̄) dual (scaled) — for warm starts
     z: jnp.ndarray        # (..., m̄)
@@ -88,56 +97,81 @@ class AdmmResult:
 
 def prepare_admm(G: np.ndarray, H: np.ndarray, *, rho: float = 1.0,
                  sigma: float = 1e-6, alpha: float = 1.6,
+                 q_typical: Optional[np.ndarray] = None,
+                 binary_idx=None, rho_eq_scale: float = 1e3,
                  dtype=jnp.float32, precision: str = "highest") -> BoxQP:
-    """Host-side (float64) preparation: row scaling + K⁻¹ factorization."""
+    """Host-side (float64) preparation: Ruiz equilibration + K⁻¹.
+
+    ``binary_idx``: box rows of those variables get ρ·rho_eq_scale (they
+    turn into equalities at fixed-binary B&B nodes — OSQP §5.2 boosts
+    equality rows the same way)."""
+    from pyhybridcontrol_tpu.ops.scaling import ruiz_equilibrate
+
     G = np.asarray(G, dtype=np.float64)
     H = np.asarray(H, dtype=np.float64)
     m, n = G.shape
-    # row equilibration of G block (box rows keep scale 1)
-    norms = np.maximum(np.abs(G).max(axis=1), 1e-10)
-    s = np.concatenate([1.0 / norms, np.ones(n)])
-    A = np.vstack([G / norms[:, None], np.eye(n)])
-    K = H + sigma * np.eye(n) + rho * (A.T @ A)
+    A = np.vstack([G, np.eye(n)])
+    q0 = (np.zeros(n) if q_typical is None
+          else np.asarray(q_typical, np.float64))
+    D, E, c = ruiz_equilibrate(H, A, q0)
+    Ph = c * (D[:, None] * H * D[None, :])
+    Ah = E[:, None] * A * D[None, :]
+    rho_vec = np.full(m + n, float(rho))
+    if binary_idx is not None and len(binary_idx):
+        rho_vec[m + np.asarray(binary_idx, int)] = rho * rho_eq_scale
+    K = Ph + sigma * np.eye(n) + (Ah.T * rho_vec[None, :]) @ Ah
     Kinv = np.linalg.inv(K)
     return BoxQP(
-        P=jnp.asarray(H, dtype),
-        A=jnp.asarray(A, dtype),
+        P=jnp.asarray(Ph, dtype),
+        A=jnp.asarray(Ah, dtype),
         Kinv=jnp.asarray(Kinv, dtype),
-        row_scale=jnp.asarray(s, dtype),
+        D=jnp.asarray(D, dtype),
+        E=jnp.asarray(E, dtype),
+        cost_scale=jnp.asarray(c, dtype),
+        rho_vec=jnp.asarray(rho_vec, dtype),
         rho=float(rho), sigma=float(sigma), alpha=float(alpha), m_ineq=m,
         precision=precision,
     )
 
 
 def prepare_admm_mpc(cmpc: CondensedMpc, **kw) -> BoxQP:
-    """Prepare the ADMM data for a condensed MPC problem."""
+    """Prepare the ADMM data for a condensed MPC problem. The typical
+    linear term (f at x0=0) informs the Ruiz cost normalization."""
+    kw.setdefault("q_typical", cmpc.f0)
+    kw.setdefault("binary_idx", cmpc.binary_idx)
     return prepare_admm(cmpc.G, cmpc.H, **kw)
 
 
 def _bounds(spec: BoxQP, h, lb, ub):
-    """Stacked, row-scaled [l, u] for constraint block + box block."""
-    s = spec.row_scale
+    """Stacked, Ruiz-row-scaled [l̂, û]: constraint block + box block."""
     m = spec.m_ineq
     l = jnp.concatenate([jnp.full(h.shape[:-1] + (m,), -BIG, h.dtype),
-                         lb], axis=-1)
-    u = jnp.concatenate([h * s[:m], ub], axis=-1)
+                         jnp.clip(lb * spec.E[m:], -BIG, BIG)], axis=-1)
+    u = jnp.concatenate([h * spec.E[:m],
+                         jnp.clip(ub * spec.E[m:], -BIG, BIG)], axis=-1)
     return l, u
 
 
 def admm_solve(spec: BoxQP, q, h, lb, ub, iters: int = 100,
                warm: Optional[Tuple[jnp.ndarray, ...]] = None) -> AdmmResult:
     """Solve one (or a leading-batch of) box-QPs with ``iters`` fixed ADMM
-    iterations. All of q/h/lb/ub may carry identical leading batch dims.
+    iterations. Inputs in ORIGINAL units (scaling is internal); all of
+    q/h/lb/ub may carry identical leading batch dims.
     Pure jnp: jit/vmap/shard_map-compatible.
+
+    Returned residuals are in original units; ``x``/``obj`` unscaled;
+    ``y``/``z`` stay in the scaled frame (only reuse them as ``warm``).
     """
-    rho, alpha, sigma = spec.rho, spec.alpha, spec.sigma
+    rho, alpha, sigma = spec.rho_vec, spec.alpha, spec.sigma
+    c = spec.cost_scale
+    qh = c * spec.D * q
     l, u = _bounds(spec, h, lb, ub)
-    batch = q.shape[:-1]
+    batch = qh.shape[:-1]
     n, mt = spec.n, spec.m_total
     if warm is None:
-        x = jnp.zeros(batch + (n,), q.dtype)
-        z = jnp.clip(jnp.zeros(batch + (mt,), q.dtype), l, u)
-        y = jnp.zeros(batch + (mt,), q.dtype)
+        x = jnp.zeros(batch + (n,), qh.dtype)
+        z = jnp.clip(jnp.zeros(batch + (mt,), qh.dtype), l, u)
+        y = jnp.zeros(batch + (mt,), qh.dtype)
     else:
         x, z, y = warm
 
@@ -150,7 +184,7 @@ def admm_solve(spec: BoxQP, q, h, lb, ub, iters: int = 100,
     def body(_, carry):
         x, z, y = carry
         w = rho * z - y
-        xt = mm(sigma * x - q + mm(w, spec.A), spec.Kinv.T)
+        xt = mm(sigma * x - qh + mm(w, spec.A), spec.Kinv.T)
         zt = mm(xt, AT)
         zr = alpha * zt + (1.0 - alpha) * z
         z_new = jnp.clip(zr + y / rho, l, u)
@@ -159,13 +193,19 @@ def admm_solve(spec: BoxQP, q, h, lb, ub, iters: int = 100,
 
     x, z, y = jax.lax.fori_loop(0, iters, body, (x, z, y))
 
+    # residuals/objective unscaled back to original units
     Ax = mm(x, AT)
-    r_prim = jnp.max(jnp.abs(Ax - jnp.clip(Ax, l, u)), axis=-1)
-    dual = mm(x, spec.P.T) + q + mm(y, spec.A)
+    Ax_orig = Ax / spec.E
+    r_prim = jnp.max(jnp.abs(Ax - jnp.clip(Ax, l, u)) / spec.E, axis=-1)
+    denom = jnp.maximum(1.0, jnp.max(jnp.abs(Ax_orig), axis=-1))
+    dual = (mm(x, spec.P.T) + qh + mm(y, spec.A)) / (spec.D * c)
     r_dual = jnp.max(jnp.abs(dual), axis=-1)
     obj = (0.5 * jnp.sum(x * mm(x, spec.P.T), axis=-1)
-           + jnp.sum(q * x, axis=-1))
-    return AdmmResult(x=x, obj=obj, r_prim=r_prim, r_dual=r_dual, y=y, z=z)
+           + jnp.sum(qh * x, axis=-1)) / c
+    x_orig = spec.D * x
+    return AdmmResult(x=x_orig, obj=obj, r_prim=r_prim,
+                      r_prim_rel=r_prim / denom, r_dual=r_dual,
+                      y=y, z=z)
 
 
 def admm_solve_batch(spec: BoxQP, q, h, lb, ub, iters: int = 100):

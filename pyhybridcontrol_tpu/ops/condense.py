@@ -362,6 +362,33 @@ class CondensedMpc:
         c.lb, c.ub, c.binary_mask = lb, ub, bm
         return c
 
+    def with_extra_constraints(self, A_v: np.ndarray, b: np.ndarray,
+                               B_x: Optional[np.ndarray] = None,
+                               B_w: Optional[np.ndarray] = None
+                               ) -> "CondensedMpc":
+        """Append horizon-coupled constraint rows
+        ``A_v · V_full ≤ b + B_x x0 + B_w W`` where ``A_v`` is given in the
+        FULL per-step-v layout (N·nv columns) — cross-step logic like
+        min-up/min-down unit commitment lives here, since MLD stage rows
+        can only couple variables within one step.
+        """
+        A_v = np.atleast_2d(np.asarray(A_v, np.float64))
+        r = A_v.shape[0]
+        if A_v.shape[1] != self.T_full.shape[0]:
+            raise ValueError(
+                f"A_v has {A_v.shape[1]} cols, expected "
+                f"{self.T_full.shape[0]} (N*nv full-v layout)")
+        c = self._clone()
+        c.G = np.vstack([self.G, A_v @ self.T_full])
+        c.h0 = np.concatenate([self.h0, np.asarray(b, np.float64).reshape(r)])
+        Bx = (np.zeros((r, self.Hx.shape[1])) if B_x is None
+              else np.atleast_2d(np.asarray(B_x, np.float64)))
+        Bw = (np.zeros((r, self.Hw.shape[1])) if B_w is None
+              else np.atleast_2d(np.asarray(B_w, np.float64)))
+        c.Hx = np.vstack([self.Hx, Bx])
+        c.Hw = np.vstack([self.Hw, Bw])
+        return c
+
     def with_soft_constraints(self, rows: Sequence[int],
                               lin_pen=1e3, quad_pen=0.0) -> "CondensedMpc":
         """Soften constraint ``rows`` with slacks s ≥ 0:

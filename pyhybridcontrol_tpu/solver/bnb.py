@@ -50,7 +50,10 @@ class BnbSpec:
     wave_size: int = 64          # nodes relaxed per wave
     max_waves: int = 64
     qp_iters: int = 100
-    feas_tol: float = 1e-3       # ADMM primal-residual feasibility cut
+    feas_tol: float = 1e-3       # "converged" primal-residual tolerance
+    infeas_tol: float = 1e-1     # "clearly infeasible" threshold (loose);
+    # between the two = unconverged: branch anyway on the parent bound
+    # rather than wrongly pruning a hard-but-feasible relaxation.
     int_tol: float = 1e-3        # integrality tolerance on relaxed binaries
     gap: float = 1e-4            # absolute pruning gap margin
 
@@ -69,6 +72,8 @@ class BnbState:
     wave: jnp.ndarray         # () i32
     nodes_solved: jnp.ndarray  # () i32
     overflow: jnp.ndarray     # () bool
+    alive: jnp.ndarray        # () bool — any active node (globally, when
+    #                           a global_any_active hook is installed)
 
 
 @jax.tree_util.register_dataclass
@@ -97,25 +102,45 @@ def _init_state(qp: DeviceQP, spec: BnbSpec, dtype) -> BnbState:
         wave=jnp.asarray(0, jnp.int32),
         nodes_solved=jnp.asarray(0, jnp.int32),
         overflow=jnp.asarray(False),
+        alive=jnp.asarray(True),
     )
 
 
-@partial(jax.jit, static_argnames=("spec",))
-def solve_miqp_bnb(admm: BoxQP, qp: DeviceQP, f, h,
-                   spec: BnbSpec = BnbSpec()) -> BnbResult:
-    """Solve  min ½VᵀHV + fᵀV  s.t. GV ≤ h, lb ≤ V ≤ ub, V[bidx] ∈ {0,1}
-    entirely on device. f, h from ``qp.assemble(x0, W, ...)``."""
+def _bnb_loop(admm: BoxQP, qp: DeviceQP, f, h, spec: BnbSpec,
+              root_active: bool = True,
+              exchange_children=None,
+              reduce_incumbent=None,
+              global_any_active=None,
+              root_device_pred=None) -> BnbResult:
+    """Shared B&B wave loop. The three optional hooks are the multi-device
+    seams (SURVEY.md §2b ``dist/collective``):
+
+      exchange_children(pytree) — permute the child-1 batch across devices
+        (load balancing); identity when single-device.
+      reduce_incumbent(obj, x, found) — all-reduce-min the incumbent.
+      global_any_active(bool) — OR-reduce the termination flag.
+
+    Called directly for single-chip solves and from inside ``shard_map``
+    for pool-sharded solves (parallel/sharded_bnb.py).
+    """
     nb = qp.n_binary
     if nb == 0:
         res = admm_solve(admm, f, h, qp.lb, qp.ub, iters=spec.qp_iters)
         zero = jnp.asarray(0, jnp.int32)
-        return BnbResult(res.x, res.obj, res.r_prim < spec.feas_tol,
+        return BnbResult(res.x, res.obj, res.r_prim_rel < spec.feas_tol,
                          zero, jnp.asarray(1, jnp.int32),
                          jnp.asarray(False), res.obj)
     bidx = jnp.asarray(np.asarray(qp.binary_idx, np.int32))
     W = spec.wave_size
     dtype = f.dtype
     state = _init_state(qp, spec, dtype)
+    if not root_active:
+        state = dataclasses.replace(
+            state, active=jnp.zeros_like(state.active))
+    if root_device_pred is not None:
+        # SPMD: only the root device's pool starts with the root node
+        state = dataclasses.replace(
+            state, active=state.active & root_device_pred)
 
     def node_bounds(fm, fv):
         """(W, n) lb/ub for nodes given fixed-binary masks/values."""
@@ -130,7 +155,7 @@ def solve_miqp_bnb(admm: BoxQP, qp: DeviceQP, f, h,
     hb = jnp.broadcast_to(h, (W, qp.m))
 
     def cond(s: BnbState):
-        return jnp.any(s.active) & (s.wave < spec.max_waves)
+        return s.alive & (s.wave < spec.max_waves)
 
     def body(s: BnbState) -> BnbState:
         # -- 1. best-first selection ------------------------------------
@@ -144,8 +169,12 @@ def solve_miqp_bnb(admm: BoxQP, qp: DeviceQP, f, h,
         # -- 2. batched relaxations -------------------------------------
         lb, ub = node_bounds(fm, fv)
         relax = admm_solve(admm, fb, hb, lb, ub, iters=spec.qp_iters)
-        feas = relax.r_prim < spec.feas_tol
-        lower = jnp.where(valid & feas, relax.obj, BIG)
+        converged = relax.r_prim_rel < spec.feas_tol
+        infeasible = relax.r_prim_rel > spec.infeas_tol
+        # trustworthy lower bound only when converged; otherwise inherit
+        # the parent bound (still valid) so the child ordering stays sane.
+        lower = jnp.where(valid & converged, relax.obj,
+                          jnp.where(valid & ~infeasible, parent_bound, BIG))
 
         xb = relax.x[:, bidx]
         rounded = jnp.round(jnp.clip(xb, 0.0, 1.0))
@@ -158,22 +187,30 @@ def solve_miqp_bnb(admm: BoxQP, qp: DeviceQP, f, h,
         ones = jnp.ones_like(fm)
         lb_p, ub_p = node_bounds(ones, pv)
         probe = admm_solve(admm, fb, hb, lb_p, ub_p, iters=spec.qp_iters)
-        probe_ok = (probe.r_prim < spec.feas_tol) & valid
+        probe_ok = (probe.r_prim_rel < spec.feas_tol) & valid
         probe_obj = jnp.where(probe_ok, probe.obj, BIG)
         k = jnp.argmin(probe_obj)
         better = probe_obj[k] < s.inc_obj
         inc_obj = jnp.where(better, probe_obj[k], s.inc_obj)
         inc_x = jnp.where(better, probe.x[k], s.inc_x)
         inc_found = s.inc_found | (better & probe_ok[k])
+        if reduce_incumbent is not None:
+            inc_obj, inc_x, inc_found = reduce_incumbent(
+                inc_obj, inc_x, inc_found)
 
         # -- 4. prune ----------------------------------------------------
-        prune = (~valid) | (~feas) | (lower >= inc_obj - spec.gap) | integral
+        fully_fixed = jnp.all(fm, axis=1)   # leaf: nothing left to branch
+        prune = ((~valid) | infeasible | fully_fixed
+                 | (converged & (lower >= inc_obj - spec.gap))
+                 | (converged & integral))
         expand = valid & ~prune
 
         # -- 5. branch ---------------------------------------------------
-        child_bound = jnp.maximum(parent_bound, jnp.where(feas, lower,
-                                                          parent_bound))
-        jstar = jnp.argmax(frac, axis=1)
+        child_bound = jnp.maximum(parent_bound,
+                                  jnp.where(converged, lower, parent_bound))
+        # branch on most-fractional FREE binary (fixed ones score −1 so
+        # frac-0 ties can never select an already-fixed variable)
+        jstar = jnp.argmax(jnp.where(fm, -1.0, frac), axis=1)
         branch_hot = jax.nn.one_hot(jstar, nb, dtype=bool)
         cfm = fm | branch_hot
         cfv0 = jnp.where(branch_hot, 0.0, fv)
@@ -191,31 +228,52 @@ def solve_miqp_bnb(admm: BoxQP, qp: DeviceQP, f, h,
         active = active.at[sel].set(expand)
 
         # child-1 → free slots; best-bound children win on overflow.
+        # Multi-device: the child-1 batch is exchanged across devices
+        # first (load balancing — SURVEY.md §5 "node redistribution").
+        c1 = dict(fm=cfm, fv=cfv1, bound=child_bound, depth=cdepth,
+                  live=expand)
+        if exchange_children is not None:
+            c1 = exchange_children(c1)
+        cfm1, cfv1x = c1["fm"], c1["fv"]
+        cb1, cd1, clive = c1["bound"], c1["depth"], c1["live"]
+
         free_score = jnp.where(active, -1.0, 1.0)
         fs_val, free_slots = jax.lax.top_k(free_score, W)
         slot_free = fs_val > 0.0
-        order = jnp.argsort(jnp.where(expand, child_bound, BIG))
+        order = jnp.argsort(jnp.where(clive, cb1, BIG))
         # i-th best child → i-th free slot
         tgt = free_slots
         src = order
-        write_ok = slot_free & expand[src]
+        write_ok = slot_free & clive[src]
         tgt_safe = jnp.where(write_ok, tgt, spec.capacity)  # drop OOB
-        fix_mask = fix_mask.at[tgt_safe].set(cfm[src], mode="drop")
-        fix_val = fix_val.at[tgt_safe].set(cfv1[src], mode="drop")
-        bound = bound.at[tgt_safe].set(child_bound[src], mode="drop")
-        depth = depth.at[tgt_safe].set(cdepth[src], mode="drop")
+        fix_mask = fix_mask.at[tgt_safe].set(cfm1[src], mode="drop")
+        fix_val = fix_val.at[tgt_safe].set(cfv1x[src], mode="drop")
+        bound = bound.at[tgt_safe].set(cb1[src], mode="drop")
+        depth = depth.at[tgt_safe].set(cd1[src], mode="drop")
         active = active.at[tgt_safe].set(True, mode="drop")
-        overflow = s.overflow | jnp.any(expand[src] & ~slot_free)
+        overflow = s.overflow | jnp.any(clive[src] & ~slot_free)
+
+        alive = jnp.any(active)
+        if global_any_active is not None:
+            alive = global_any_active(alive)
 
         return BnbState(
             fix_mask=fix_mask, fix_val=fix_val, bound=bound, active=active,
             depth=depth, inc_obj=inc_obj, inc_x=inc_x, inc_found=inc_found,
             wave=s.wave + 1,
             nodes_solved=s.nodes_solved + jnp.sum(valid.astype(jnp.int32)),
-            overflow=overflow)
+            overflow=overflow, alive=alive)
 
     s = jax.lax.while_loop(cond, body, state)
     best_open = jnp.min(jnp.where(s.active, s.bound, BIG))
     return BnbResult(x=s.inc_x, obj=s.inc_obj, found=s.inc_found,
                      waves=s.wave, nodes_solved=s.nodes_solved,
                      overflow=s.overflow, best_open_bound=best_open)
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def solve_miqp_bnb(admm: BoxQP, qp: DeviceQP, f, h,
+                   spec: BnbSpec = BnbSpec()) -> BnbResult:
+    """Solve  min ½VᵀHV + fᵀV  s.t. GV ≤ h, lb ≤ V ≤ ub, V[bidx] ∈ {0,1}
+    entirely on device. f, h from ``qp.assemble(x0, W, ...)``."""
+    return _bnb_loop(admm, qp, f, h, spec)

@@ -36,7 +36,7 @@ def _enumerate_solve(spec: BoxQP, qp: DeviceQP, f, h, assignments,
     ub = jnp.broadcast_to(qp.ub, (B, qp.n)).at[:, bidx].set(assignments)
     res = admm_solve(spec, jnp.broadcast_to(f, (B, qp.n)),
                      jnp.broadcast_to(h, (B, qp.m)), lb, ub, iters=iters)
-    feasible = res.r_prim < feas_tol
+    feasible = res.r_prim_rel < feas_tol
     objs = jnp.where(feasible, res.obj, BIG)
     k = jnp.argmin(objs)
     return res.x[k], objs[k], assignments[k], feasible

@@ -72,12 +72,23 @@ def solve_qp_oracle(H, f, G=None, h=None, lb=None, ub=None,
     G = np.asarray(G, np.float64)
     h = np.asarray(h, np.float64)
 
-    # stacked form: l ≤ A x ≤ u
-    A = np.vstack([G, np.eye(n)])
-    norms = np.maximum(np.abs(A).max(axis=1), 1e-10)
-    A = A / norms[:, None]
-    l = np.concatenate([np.full(len(h), -INF), lb]) / norms
-    u = np.concatenate([h, ub]) / norms
+    if n == 0:
+        # fully-fixed problem (e.g. enumeration of an all-binary model):
+        # just a feasibility check of the constant rows
+        ok = np.all(h >= -1e-9) if len(h) else True
+        return (OracleResult(np.zeros(0), 0.0, "optimal") if ok
+                else OracleResult(None, INF, "infeasible"))
+
+    # stacked + Ruiz-equilibrated form: l̂ ≤ Â x̂ ≤ û  (ops/scaling.py)
+    from pyhybridcontrol_tpu.ops.scaling import ruiz_equilibrate
+
+    A0 = np.vstack([G, np.eye(n)])
+    Dsc, Esc, csc = ruiz_equilibrate(H, A0, f)
+    Hs = csc * (Dsc[:, None] * H * Dsc[None, :])
+    fs = csc * Dsc * f
+    A = Esc[:, None] * A0 * Dsc[None, :]
+    l = Esc * np.concatenate([np.full(len(h), -INF), lb])
+    u = Esc * np.concatenate([h, ub])
     m = A.shape[0]
 
     sigma = 1e-6
@@ -86,18 +97,18 @@ def solve_qp_oracle(H, f, G=None, h=None, lb=None, ub=None,
     z = np.clip(np.zeros(m), l, u)
     y = np.zeros(m)
     AtA = A.T @ A
-    K = np.linalg.inv(H + sigma * np.eye(n) + rho * AtA)
+    K = np.linalg.inv(Hs + sigma * np.eye(n) + rho * AtA)
     alpha = 1.6
 
     def residuals(x, z, y):
         Ax = A @ x
-        rp = np.linalg.norm(Ax - z, np.inf)
-        rd = np.linalg.norm(H @ x + f + A.T @ y, np.inf)
+        rp = np.linalg.norm((Ax - z) / Esc, np.inf)
+        rd = np.linalg.norm((Hs @ x + fs + A.T @ y) / (Dsc * csc), np.inf)
         return rp, rd
 
     status = "maxiter"
     for it in range(max_iter):
-        xt = K @ (sigma * x - f + A.T @ (rho * z - y))
+        xt = K @ (sigma * x - fs + A.T @ (rho * z - y))
         zt = A @ xt
         zr = alpha * zt + (1 - alpha) * z
         z_new = np.clip(zr + y / rho, l, u)
@@ -112,16 +123,19 @@ def solve_qp_oracle(H, f, G=None, h=None, lb=None, ub=None,
             scale = np.sqrt(rp / max(rd, 1e-16))
             if np.isfinite(scale) and (scale > 5 or scale < 0.2):
                 rho = np.clip(rho * scale, 1e-6, 1e6)
-                K = np.linalg.inv(H + sigma * np.eye(n) + rho * AtA)
+                K = np.linalg.inv(Hs + sigma * np.eye(n) + rho * AtA)
 
-    # polish: exact KKT solve on the active set
+    # polish: exact KKT solve on the active set (scaled frame)
     Ax = A @ x
     act_l = Ax - l < 1e-6
     act_u = u - Ax < 1e-6
     act = act_l | act_u
     if act.any():
-        Aa = A[act]
-        ba = np.where(act_u[act], u[act], l[act])
+        # polish in the ORIGINAL frame on the detected active rows
+        l0 = np.concatenate([np.full(len(h), -INF), lb])
+        u0 = np.concatenate([h, ub])
+        Aa = A0[act]
+        ba = np.where(act_u[act], u0[act], l0[act])
         ka = Aa.shape[0]
         KKT = np.block([[H, Aa.T], [Aa, -1e-12 * np.eye(ka)]])
         rhs = np.concatenate([-f, ba])
@@ -132,25 +146,31 @@ def solve_qp_oracle(H, f, G=None, h=None, lb=None, ub=None,
         xp = sol[:n]
         nu = sol[n:]
         # verify: feasible on all rows, dual signs consistent
-        Axp = A @ xp
-        feas_ok = (np.all(Axp <= u + 1e-7) and np.all(Axp >= l - 1e-7))
+        scale_rows = np.maximum(1.0, np.abs(ba).max() if ka else 1.0)
+        Axp = A0 @ xp
+        feas_ok = (np.all(Axp <= u0 + 1e-7 * scale_rows)
+                   and np.all(Axp >= l0 - 1e-7 * scale_rows))
         sign_ok = np.all(np.where(act_u[act], nu >= -1e-6,
                                   np.where(act_l[act], nu <= 1e-6, True)))
         stat = np.linalg.norm(H @ xp + f + Aa.T @ nu, np.inf)
-        if feas_ok and sign_ok and stat < 1e-6 and np.all(np.isfinite(xp)):
+        stat_ok = stat < 1e-6 * max(1.0, np.abs(f).max())
+        if feas_ok and sign_ok and stat_ok and np.all(np.isfinite(xp)):
             return OracleResult(xp, 0.5 * xp @ H @ xp + f @ xp, "optimal")
 
     if status == "converged":
         rp, rd = residuals(x, z, y)
         if rp < 1e-6 and rd < 1e-6:
-            return OracleResult(x, 0.5 * x @ H @ x + f @ x, "optimal")
+            xo = Dsc * x
+            return OracleResult(xo, 0.5 * xo @ H @ xo + f @ xo, "optimal")
 
-    # not converged: classify via HiGHS LP feasibility
+    # not converged: classify via HiGHS LP feasibility (original frame)
     from scipy.optimize import linprog
-    fin_u = u < 1e29
-    fin_l = l > -1e29
-    A_ub = np.vstack([A[fin_u], -A[fin_l]])
-    b_ub = np.concatenate([u[fin_u], -l[fin_l]])
+    l0 = np.concatenate([np.full(len(h), -INF), lb])
+    u0 = np.concatenate([h, ub])
+    fin_u = u0 < 1e29
+    fin_l = l0 > -1e29
+    A_ub = np.vstack([A0[fin_u], -A0[fin_l]])
+    b_ub = np.concatenate([u0[fin_u], -l0[fin_l]])
     res = linprog(np.zeros(n), A_ub=A_ub, b_ub=b_ub,
                   bounds=[(None, None)] * n, method="highs")
     if res.status == 2:

@@ -1,0 +1,161 @@
+"""QP kernel + MIQP solver tests (SURVEY.md §4.2/§4.3/§4.6)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyhybridcontrol_tpu.models.double_integrator import (
+    switched_double_integrator, default_weights)
+from pyhybridcontrol_tpu.ops.admm import (
+    admm_solve, prepare_admm, prepare_admm_mpc)
+from pyhybridcontrol_tpu.ops.condense import CondensedMpc
+from pyhybridcontrol_tpu.solver.bnb import BnbSpec, solve_miqp_bnb
+from pyhybridcontrol_tpu.solver.enumerate import solve_miqp_enumerate_device
+from pyhybridcontrol_tpu.solver.oracle import (
+    solve_miqp_enumeration_oracle, solve_qp_oracle)
+
+
+def _random_qp(rng, n=16, m=24, cond=10.0):
+    U = np.linalg.qr(rng.normal(size=(n, n)))[0]
+    eigs = np.logspace(0, np.log10(cond), n)
+    H = U @ np.diag(eigs) @ U.T
+    f = rng.normal(size=n)
+    G = rng.normal(size=(m, n))
+    h = rng.uniform(0.5, 2.0, size=m)   # origin strictly feasible
+    lb = np.full(n, -3.0)
+    ub = np.full(n, 3.0)
+    return H, f, G, h, lb, ub
+
+
+@pytest.mark.parametrize("cond", [3.0, 30.0, 300.0])
+def test_admm_matches_oracle_random_qps(rng, cond):
+    """SURVEY.md §4.2: ADMM vs fp64 oracle, condition-number sweep."""
+    H, f, G, h, lb, ub = _random_qp(rng, cond=cond)
+    oracle = solve_qp_oracle(H, f, G, h, lb, ub)
+    assert oracle.status == "optimal"
+    spec = prepare_admm(G, H, rho=0.1)
+    res = admm_solve(spec, jnp.asarray(f, jnp.float32),
+                     jnp.asarray(h, jnp.float32), jnp.asarray(lb, jnp.float32),
+                     jnp.asarray(ub, jnp.float32), iters=800)
+    assert float(res.r_prim) < 1e-3
+    np.testing.assert_allclose(float(res.obj), oracle.obj,
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(res.x), oracle.x,
+                               rtol=0.05, atol=5e-3)
+
+
+def test_admm_batch_determinism(rng):
+    """Batch-of-K solve is bitwise identical run-to-run (§4.2)."""
+    H, f, G, h, lb, ub = _random_qp(rng)
+    spec = prepare_admm(G, H)
+    K = 32
+    fs = jnp.asarray(rng.normal(size=(K, 16)), jnp.float32)
+    hb = jnp.broadcast_to(jnp.asarray(h, jnp.float32), (K, 24))
+    lbb = jnp.broadcast_to(jnp.asarray(lb, jnp.float32), (K, 16))
+    ubb = jnp.broadcast_to(jnp.asarray(ub, jnp.float32), (K, 16))
+    solve = jax.jit(lambda q: admm_solve(spec, q, hb, lbb, ubb, iters=100))
+    r1 = solve(fs)
+    r2 = solve(fs)
+    assert np.array_equal(np.asarray(r1.x), np.asarray(r2.x))
+
+
+def test_admm_batch_matches_single(rng):
+    H, f, G, h, lb, ub = _random_qp(rng)
+    spec = prepare_admm(G, H)
+    K = 8
+    fs = jnp.asarray(rng.normal(size=(K, 16)), jnp.float32)
+    hb = jnp.broadcast_to(jnp.asarray(h, jnp.float32), (K, 24))
+    lbb = jnp.broadcast_to(jnp.asarray(lb, jnp.float32), (K, 16))
+    ubb = jnp.broadcast_to(jnp.asarray(ub, jnp.float32), (K, 16))
+    batch = admm_solve(spec, fs, hb, lbb, ubb, iters=50)
+    single = admm_solve(spec, fs[3], hb[3], lbb[3], ubb[3], iters=50)
+    np.testing.assert_allclose(np.asarray(batch.x[3]), np.asarray(single.x),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_admm_infeasible_detection(rng):
+    """Contradictory rows ⇒ primal residual stays large."""
+    n = 8
+    H = np.eye(n)
+    f = np.zeros(n)
+    G = np.vstack([np.eye(n)[:1], -np.eye(n)[:1]])
+    h = np.array([1.0, -2.0])   # x0 ≤ 1 and x0 ≥ 2
+    spec = prepare_admm(G, H)
+    res = admm_solve(spec, jnp.zeros(n), jnp.asarray(h, jnp.float32),
+                     jnp.full(n, -10.0), jnp.full(n, 10.0), iters=600)
+    assert float(res.r_prim) > 1e-2
+
+
+# ---- MIQP: enumeration vs oracle vs B&B (§4.3) -------------------------
+
+@pytest.fixture(scope="module")
+def miqp():
+    model = switched_double_integrator()
+    N = 6
+    c = CondensedMpc(model, N, default_weights())
+    qp = c.device_qp()
+    spec = prepare_admm_mpc(c)
+    return model, N, c, qp, spec
+
+
+X0S = [np.array([2.0, 0.0]), np.array([-1.5, 1.0]), np.array([0.3, -0.7]),
+       np.array([4.0, 2.0])]
+
+
+@pytest.mark.parametrize("x0", X0S, ids=[str(x) for x in X0S])
+def test_enumeration_parity_vs_oracle(miqp, x0):
+    model, N, c, qp, spec = miqp
+    f, h = qp.assemble(jnp.asarray(x0, jnp.float32))
+    x, obj, bits, feas = solve_miqp_enumerate_device(spec, qp, f, h, iters=600)
+    fo, ho = c.assemble_np(x0)
+    oracle = solve_miqp_enumeration_oracle(c.H, fo, c.G, ho, c.lb, c.ub,
+                                           c.binary_idx)
+    assert oracle.status == "optimal"
+    # compare cost within tolerance (ties in binary patterns allowed, §7)
+    assert abs(float(obj) - oracle.obj) <= 1e-3 * max(1.0, abs(oracle.obj))
+
+
+@pytest.mark.parametrize("x0", X0S, ids=[str(x) for x in X0S])
+def test_bnb_matches_enumeration(miqp, x0):
+    model, N, c, qp, spec = miqp
+    f, h = qp.assemble(jnp.asarray(x0, jnp.float32))
+    _, obj_enum, _, _ = solve_miqp_enumerate_device(spec, qp, f, h, iters=600)
+    res = solve_miqp_bnb(spec, qp, f, h,
+                         BnbSpec(capacity=256, wave_size=16, max_waves=64,
+                                 qp_iters=600))
+    assert bool(res.found)
+    assert not bool(res.overflow)
+    assert abs(float(res.obj) - float(obj_enum)) <= 1e-3 * max(
+        1.0, abs(float(obj_enum)))
+
+
+def test_bnb_solution_is_feasible(miqp):
+    model, N, c, qp, spec = miqp
+    x0 = np.array([2.0, 0.0])
+    f, h = qp.assemble(jnp.asarray(x0, jnp.float32))
+    res = solve_miqp_bnb(spec, qp, f, h,
+                         BnbSpec(capacity=256, wave_size=16, qp_iters=600))
+    x = np.asarray(res.x, np.float64)
+    fo, ho = c.assemble_np(x0)
+    assert (c.G @ x - ho).max() < 1e-2          # constraint feasibility
+    b = x[c.binary_idx]
+    assert np.abs(b - np.round(b)).max() < 1e-2  # integrality
+
+
+def test_bnb_explores_fewer_nodes_than_enumeration(miqp):
+    model, N, c, qp, spec = miqp
+    x0 = np.array([2.0, 0.0])
+    f, h = qp.assemble(jnp.asarray(x0, jnp.float32))
+    res = solve_miqp_bnb(spec, qp, f, h,
+                         BnbSpec(capacity=256, wave_size=16, qp_iters=600))
+    assert int(res.nodes_solved) < 2 ** len(c.binary_idx)
+
+
+def test_bnb_infeasible_problem(miqp):
+    model, N, c, qp, spec = miqp
+    x0 = np.array([50.0, 0.0])    # outside state box
+    f, h = qp.assemble(jnp.asarray(x0, jnp.float32))
+    res = solve_miqp_bnb(spec, qp, f, h,
+                         BnbSpec(capacity=128, wave_size=8, qp_iters=800))
+    assert not bool(res.found)
