@@ -1,13 +1,13 @@
 """Benchmark harness (BASELINE.md): prints ONE JSON line with the
-north-star metric — relaxed-QP solves/s/chip at horizon N=20
-(target ≥ 10,000; BASELINE.json).
+north-star metric — relaxed-QP solves/s/chip at horizon N=20 (target
+≥ 10,000) — and writes the full per-config measurement set (configs 1–5
++ parity delta) to BENCH_DETAILS.json.
 
-Also measures B&B nodes/s and per-control-step wall time, written to
-BENCH_DETAILS.json (the driver records only the stdout JSON line).
-
-Run on the real TPU chip: python bench.py
+Run on the real TPU chip:  python bench.py          (~4 min incl compiles)
+Subset:                    python bench.py --quick  (primary metric only)
 """
 
+import argparse
 import json
 import os
 import time
@@ -15,78 +15,188 @@ import time
 import numpy as np
 
 
+def _timeit(fn, *args, reps=5):
+    out = fn(*args)
+    jax_block(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax_block(out)
+    return (time.perf_counter() - t0) / reps, out
+
+
+def jax_block(out):
+    import jax
+
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "block_until_ready"):
+            leaf.block_until_ready()
+            break
+
+
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
+    from pyhybridcontrol_tpu.loop import closed_loop, make_mpc_step
     from pyhybridcontrol_tpu.models.double_integrator import (
-        switched_double_integrator, default_weights)
+        default_weights, switched_double_integrator)
     from pyhybridcontrol_tpu.ops.admm import admm_solve, prepare_admm_mpc
     from pyhybridcontrol_tpu.ops.condense import CondensedMpc
     from pyhybridcontrol_tpu.solver.bnb import BnbSpec, solve_miqp_bnb
 
-    dev = jax.devices()[0]
-    details = {"device": str(dev), "backend": jax.default_backend()}
+    details = {"device": str(jax.devices()[0]),
+               "backend": jax.default_backend()}
+    rng = np.random.default_rng(0)
 
     # ---- primary: relaxed-QP solves/s/chip at N=20 ----------------------
     N = 20
     model = switched_double_integrator()
-    c = CondensedMpc(model, N, default_weights())
-    qp = c.device_qp()
-    admm = prepare_admm_mpc(c)
+    c20 = CondensedMpc(model, N, default_weights())
+    qp20 = c20.device_qp()
+    admm20 = prepare_admm_mpc(c20)
     ITERS = 100
     B = 4096
-    rng = np.random.default_rng(0)
     x0s = jnp.asarray(rng.normal(size=(B, 2)).astype(np.float32))
 
     @jax.jit
     def batch_relax(x0s):
-        fs, hs = jax.vmap(qp.assemble)(x0s)
-        lb = jnp.broadcast_to(qp.lb, (B, qp.n))
-        ub = jnp.broadcast_to(qp.ub, (B, qp.n))
-        res = admm_solve(admm, fs, hs, lb, ub, iters=ITERS)
-        return res.obj, res.r_prim
+        fs, hs = jax.vmap(qp20.assemble)(x0s)
+        lb = jnp.broadcast_to(qp20.lb, (B, qp20.n))
+        ub = jnp.broadcast_to(qp20.ub, (B, qp20.n))
+        res = admm_solve(admm20, fs, hs, lb, ub, iters=ITERS)
+        return res.obj, res.r_prim_rel
 
-    obj, rp = batch_relax(x0s)          # compile
-    obj.block_until_ready()
-    t0 = time.perf_counter()
-    REPS = 10
-    for _ in range(REPS):
-        obj, rp = batch_relax(x0s)
-    obj.block_until_ready()
-    dt = time.perf_counter() - t0
-    solves_per_s = B * REPS / dt
-    details["qp_solves_per_s"] = solves_per_s
-    details["qp_iters"] = ITERS
-    details["qp_batch"] = B
-    details["qp_n"] = int(qp.n)
-    details["qp_m"] = int(qp.m)
-    details["qp_feasible_frac"] = float(np.mean(np.asarray(rp) < 1e-3))
+    dt, (obj, rel) = _timeit(batch_relax, x0s, reps=10)
+    solves_per_s = B / dt
+    details["primary_qp_solves_per_s"] = round(solves_per_s, 1)
+    details["primary_qp"] = dict(iters=ITERS, batch=B, n=int(qp20.n),
+                                 m=int(qp20.m))
 
-    # ---- secondary: B&B nodes/s and per-step wall time at N=20 ----------
-    spec = BnbSpec(capacity=512, wave_size=64, max_waves=64, qp_iters=ITERS)
-    x0 = jnp.asarray(np.array([2.0, 0.0], np.float32))
+    if not args.quick:
+        # ---- config 1: closed-loop double integrator, N=10 --------------
+        c10 = CondensedMpc(model, 10, default_weights())
+        qp10, admm10 = c10.device_qp(), prepare_admm_mpc(c10)
+        spec10 = BnbSpec(capacity=256, wave_size=32, max_waves=48,
+                         qp_iters=200)
+        step10 = make_mpc_step(model, qp10, admm10, method="bnb",
+                               bnb_spec=spec10)
+        T = 20
+        runner = jax.jit(
+            lambda x0: closed_loop(model, step10, x0, T))
+        dt, res = _timeit(runner, jnp.asarray([2.0, 0.0]), reps=3)
+        details["config1_double_integrator"] = dict(
+            N=10, T=T, ms_per_control_step=round(1e3 * dt / T, 3),
+            found_frac=float(np.mean(np.asarray(res.found))),
+            mean_nodes=float(np.mean(np.asarray(res.nodes))))
 
-    @jax.jit
-    def feedback(x0):
-        f, h = qp.assemble(x0)
-        return solve_miqp_bnb(admm, qp, f, h, spec)
+        # ---- config 2: PWA + on/off actuator, N=20 (one feedback) ------
+        from pyhybridcontrol_tpu.models.pwa_examples import (
+            pwa_spring_mld, pwa_weights)
 
-    r = feedback(x0)
-    r.obj.block_until_ready()
-    t0 = time.perf_counter()
-    BREPS = 5
-    nodes = 0
-    for _ in range(BREPS):
-        r = feedback(x0)
-        r.obj.block_until_ready()
-        nodes += int(r.nodes_solved)
-    dt_b = time.perf_counter() - t0
-    details["bnb_nodes_per_s"] = nodes / dt_b
-    details["bnb_step_wall_s"] = dt_b / BREPS
-    details["bnb_found"] = bool(r.found)
-    details["bnb_nodes_per_solve"] = int(r.nodes_solved)
-    details["bnb_waves"] = int(r.waves)
+        from pyhybridcontrol_tpu.solver.repair import (
+            prepare_repair, root_repair_incumbent)
+
+        mpwa = pwa_spring_mld(on_off=True)
+        cpw = CondensedMpc(mpwa, 20, pwa_weights())
+        qpw, admw = cpw.device_qp(), prepare_admm_mpc(cpw)
+        rspec = prepare_repair(mpwa, pwa_weights())
+        spec_pwa = BnbSpec(capacity=2048, wave_size=128, max_waves=48,
+                           qp_iters=200, gap=1e-3)
+
+        @jax.jit
+        def fb(x0):
+            f_, h_ = qpw.assemble(x0)
+            seed = root_repair_incumbent(admw, qpw, rspec, x0, f_, h_,
+                                         qp_iters=400)
+            return solve_miqp_bnb(admw, qpw, f_, h_, spec_pwa,
+                                  init_incumbent=seed)
+        dt, r = _timeit(fb, jnp.asarray([1.5, 0.0]), reps=3)
+        details["config2_pwa_actuator"] = dict(
+            N=20, n_binary=qpw.n_binary, ms_per_solve=round(1e3 * dt, 2),
+            found=bool(r.found), nodes=int(r.nodes_solved),
+            nodes_per_s=round(int(r.nodes_solved) / dt, 1))
+
+        # ---- config 3: thermal + UC + move blocking, N=24 --------------
+        from pyhybridcontrol_tpu.models.dewh import (
+            dewh_energy_price_seq, dewh_model, dewh_weights,
+            min_up_down_rows, DewhParams)
+
+        p3 = DewhParams()
+        m3 = dewh_model(p3)
+        c3 = CondensedMpc(m3, 24, dewh_weights())
+        A_v, bex = min_up_down_rows(24, m3.info.nv, min_up=2)
+        c3 = c3.with_extra_constraints(A_v, bex)
+        c3 = c3.with_move_blocking([k // 2 for k in range(24)])
+        nc3 = m3.info.ncons
+        c3 = c3.with_soft_constraints(
+            [k * nc3 + r for k in range(24) for r in (0, 1)],
+            lin_pen=5.0, quad_pen=1.0)
+        qp3, admm3 = c3.device_qp(), prepare_admm_mpc(c3)
+        spec3 = BnbSpec(capacity=512, wave_size=64, max_waves=32,
+                        qp_iters=200, gap=1e-3)
+        T3 = 12
+        draws = (0.5 * (rng.uniform(0, 1, (T3 + 24, 1)) < 0.25)
+                 ).astype(np.float32)
+        prices = dewh_energy_price_seq(
+            np.full(T3 + 24, 0.15), p3, nv=m3.info.nv).astype(np.float32)
+        step3 = make_mpc_step(m3, qp3, admm3, method="bnb", bnb_spec=spec3)
+        run3 = jax.jit(lambda x0: closed_loop(
+            m3, step3, x0, T3, omega_traj=jnp.asarray(draws),
+            price_traj=jnp.asarray(prices)))
+        dt, res3 = _timeit(run3, jnp.asarray([55.0, 0.0]), reps=3)
+        details["config3_thermal_uc"] = dict(
+            N=24, T=T3, n_binary=qp3.n_binary,
+            ms_per_control_step=round(1e3 * dt / T3, 2),
+            found_frac=float(np.mean(np.asarray(res3.found))))
+
+        # ---- config 4: 1024 batched MIQP instances ---------------------
+        spec4 = BnbSpec(capacity=64, wave_size=16, max_waves=32,
+                        qp_iters=200)
+        B4 = 1024
+        x4 = jnp.asarray(rng.normal(size=(B4, 2)).astype(np.float32))
+        f4, h4 = jax.vmap(qp10.assemble)(x4)
+        solve4 = jax.jit(jax.vmap(
+            lambda f_, h_: solve_miqp_bnb(admm10, qp10, f_, h_, spec4)))
+        dt, r4 = _timeit(solve4, f4, h4, reps=3)
+        nodes4 = int(np.sum(np.asarray(r4.nodes_solved)))
+        details["config4_scenario_batch"] = dict(
+            batch=B4, N=10, miqp_per_s=round(B4 / dt, 1),
+            nodes_per_s=round(nodes4 / dt, 1),
+            found_frac=float(np.mean(np.asarray(r4.found))))
+
+        # ---- config 5: sharded B&B (virtual mesh on 1 chip: N/A) -------
+        details["config5_sharded_bnb"] = dict(
+            note="single-chip environment: pool-sharded B&B + incumbent "
+                 "all-reduce validated on 8-device virtual CPU mesh "
+                 "(tests/test_parallel.py); real multi-chip weak scaling "
+                 "deferred to a pod-equipped round")
+
+        # ---- parity: enumeration vs fp64 oracle (N=8) ------------------
+        from pyhybridcontrol_tpu.solver.enumerate import (
+            solve_miqp_enumerate_device)
+        from pyhybridcontrol_tpu.solver.oracle import (
+            solve_miqp_enumeration_oracle)
+
+        c8 = CondensedMpc(model, 8, default_weights())
+        qp8, admm8 = c8.device_qp(), prepare_admm_mpc(c8)
+        x0p = np.array([2.0, 0.0], np.float32)
+        f8, h8 = qp8.assemble(jnp.asarray(x0p))
+        _, obj_dev, _, _ = solve_miqp_enumerate_device(admm8, qp8, f8, h8,
+                                                       iters=600)
+        fo, ho = c8.assemble_np(x0p)
+        oracle = solve_miqp_enumeration_oracle(
+            c8.H, fo, c8.G, ho, c8.lb, c8.ub, c8.binary_idx)
+        details["parity"] = dict(
+            config="double_integrator_N8",
+            device_obj=float(obj_dev), oracle_obj=float(oracle.obj),
+            abs_delta=float(abs(float(obj_dev) - oracle.obj)),
+            rel_delta=float(abs(float(obj_dev) - oracle.obj)
+                            / max(1.0, abs(oracle.obj))))
 
     with open(os.path.join(os.path.dirname(__file__) or ".",
                            "BENCH_DETAILS.json"), "w") as fp:

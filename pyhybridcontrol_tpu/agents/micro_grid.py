@@ -47,6 +47,14 @@ class MicroGridCoordinator:
         weights = MpcWeights(Qx=Qx, x_ref=x_ref, qdelta=qdelta)
         self.controller = MpcController(self.model, N, weights,
                                         **controller_kw)
+        # comfort bands are soft (hard bands are infeasible whenever a
+        # draw outpaces the heater — reference DSM practice)
+        nc_a = 7                       # rows per DEWH agent
+        nc_joint = self.model.info.ncons
+        soft = [k * nc_joint + i * nc_a + r
+                for k in range(N) for i in range(self.M) for r in (0, 1)]
+        self.controller.set_soft_constraints(soft, lin_pen=5.0,
+                                             quad_pen=1.0)
         self.k = 0
 
     @property

@@ -110,8 +110,31 @@ class MpcController:
         self._cmpc = c
         self._qp = c.device_qp()
         self._admm = prepare_admm_mpc(c, rho=self.rho)
+        # rollout-repair incumbent heuristic: valid only when the
+        # decision frame is the full per-step v (optionally + slacks)
+        self._repair = None
+        if self.solver == "bnb" and self._blocking is None:
+            from pyhybridcontrol_tpu.solver.repair import prepare_repair
+
+            rkw = {}
+            if self._soft is not None:
+                rows, lin, quad = self._soft
+                nc = self.model.info.ncons
+                stage_rows = sorted({r % nc for r in rows})
+                rkw = dict(soft_rows=stage_rows,
+                           soft_lin=float(np.mean(np.atleast_1d(lin))),
+                           soft_quad=float(np.mean(np.atleast_1d(quad))))
+            rspec = prepare_repair(self.model, self.weights, **rkw)
+            if rspec is not None:
+                layout = "soft" if self._soft is not None else "plain"
+                self._repair = (rspec, layout)
         self._built_version = self._version
         return self
+
+    @property
+    def repair(self):
+        self.build()
+        return self._repair
 
     @property
     def condensed(self) -> CondensedMpc:
@@ -146,7 +169,18 @@ class MpcController:
               if u_prev is not None else None)
         f, h = qp.assemble(x0, W, up, Pq)
         if self.solver == "bnb":
-            res = solve_miqp_bnb(admm, qp, f, h, self.bnb_spec)
+            seed = None
+            if self._repair is not None:
+                from pyhybridcontrol_tpu.solver.repair import (
+                    root_repair_incumbent)
+
+                rspec, layout = self._repair
+                seed = root_repair_incumbent(
+                    admm, qp, rspec, x0, f, h, W=W, price_seq=Pq,
+                    qp_iters=self.bnb_spec.qp_iters, layout=layout,
+                    feas_tol=self.bnb_spec.feas_tol)
+            res = solve_miqp_bnb(admm, qp, f, h, self.bnb_spec,
+                                 init_incumbent=seed)
             x, obj, found = res.x, res.obj, res.found
             nodes = res.nodes_solved
         elif self.solver == "enumerate":

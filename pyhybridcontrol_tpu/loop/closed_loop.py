@@ -42,21 +42,34 @@ class ClosedLoopResult:
 def make_mpc_step(model: MldModel, qp: DeviceQP, admm: BoxQP,
                   method: str = "bnb",
                   bnb_spec: Optional[BnbSpec] = None,
-                  qp_iters: int = 100) -> Callable:
+                  qp_iters: int = 100,
+                  repair=None) -> Callable:
     """Build the single-control-step function
     ``step(x, W, price_seq, u_prev) -> (v_seq (N,nv), obj, found, nodes)``.
 
     ``method``: "bnb" (TPU B&B) or "enumerate" (exact, 2^nb batched QPs).
+    ``repair``: optional (RepairSpec, layout) — seeds the B&B incumbent
+    with the greedy rollout-repair heuristic (solver/repair.py).
     Pure jnp — jit/vmap/scan/shard_map composable.
     """
     spec = bnb_spec or BnbSpec()
     if method == "enumerate":
         assignments = jnp.asarray(_all_assignments(qp.n_binary))
+    if repair is not None:
+        from pyhybridcontrol_tpu.solver.repair import root_repair_incumbent
 
     def step(x, W=None, price_seq=None, u_prev=None):
         f, h = qp.assemble(x, W, u_prev, price_seq)
         if method == "bnb":
-            res = solve_miqp_bnb(admm, qp, f, h, spec)
+            seed = None
+            if repair is not None:
+                rspec, layout = repair
+                seed = root_repair_incumbent(
+                    admm, qp, rspec, x, f, h, W=W, price_seq=price_seq,
+                    qp_iters=spec.qp_iters, layout=layout,
+                    feas_tol=spec.feas_tol)
+            res = solve_miqp_bnb(admm, qp, f, h, spec,
+                                 init_incumbent=seed)
             v_seq = qp.full_v(res.x)
             return v_seq, res.obj, res.found, res.nodes_solved
         elif method == "enumerate":

@@ -91,6 +91,12 @@ class AdmmResult:
     r_prim_rel: jnp.ndarray  # (...,) r_prim / max(1, |Ax|∞) — the
     #                          scale-invariant feasibility measure
     r_dual: jnp.ndarray   # (...,) ∞-norm dual residual
+    infeas_cert: jnp.ndarray  # (...,) bool — OSQP primal-infeasibility
+    #   certificate from the dual step direction δy: Aᵀδy ≈ 0 with
+    #   uᵀ[δy]₊ + lᵀ[δy]₋ < 0 proves no feasible point exists. Unlike a
+    #   residual threshold this never fires on slow-but-feasible
+    #   problems (degenerate PWA relaxations take thousands of
+    #   iterations while sitting at large residuals).
     y: jnp.ndarray        # (..., m̄) dual (scaled) — for warm starts
     z: jnp.ndarray        # (..., m̄)
 
@@ -182,30 +188,53 @@ def admm_solve(spec: BoxQP, q, h, lb, ub, iters: int = 100,
         return jnp.matmul(a, b, precision=prec)
 
     def body(_, carry):
-        x, z, y = carry
+        x, z, y, _ = carry
         w = rho * z - y
         xt = mm(sigma * x - qh + mm(w, spec.A), spec.Kinv.T)
         zt = mm(xt, AT)
         zr = alpha * zt + (1.0 - alpha) * z
         z_new = jnp.clip(zr + y / rho, l, u)
         y_new = y + rho * (zr - z_new)
-        return xt, z_new, y_new
+        return xt, z_new, y_new, y_new - y
 
-    x, z, y = jax.lax.fori_loop(0, iters, body, (x, z, y))
+    dy0 = jnp.zeros_like(y)
+    x, z, y, dy = jax.lax.fori_loop(0, iters, body, (x, z, y, dy0))
 
     # residuals/objective unscaled back to original units
     Ax = mm(x, AT)
     Ax_orig = Ax / spec.E
-    r_prim = jnp.max(jnp.abs(Ax - jnp.clip(Ax, l, u)) / spec.E, axis=-1)
-    denom = jnp.maximum(1.0, jnp.max(jnp.abs(Ax_orig), axis=-1))
+    viol = jnp.abs(Ax - jnp.clip(Ax, l, u)) / spec.E
+    r_prim = jnp.max(viol, axis=-1)
+    # per-ROW relative violation: a global denominator lets large-scale
+    # rows (kW-level coupling) mask unit-scale logic-row violations
+    r_rel = jnp.max(viol / jnp.maximum(1.0, jnp.abs(Ax_orig)), axis=-1)
     dual = (mm(x, spec.P.T) + qh + mm(y, spec.A)) / (spec.D * c)
     r_dual = jnp.max(jnp.abs(dual), axis=-1)
     obj = (0.5 * jnp.sum(x * mm(x, spec.P.T), axis=-1)
            + jnp.sum(qh * x, axis=-1)) / c
     x_orig = spec.D * x
+
+    # primal-infeasibility certificate (OSQP §3.4) from δy of the last
+    # iteration, in the scaled frame: Aᵀδy ≈ 0 ∧ supp(δy) respects the
+    # infinite bounds ∧ uᵀ[δy]₊ + lᵀ[δy]₋ < 0.
+    dy_norm = jnp.max(jnp.abs(dy), axis=-1)
+    Atdy = jnp.max(jnp.abs(mm(dy, spec.A)), axis=-1)
+    fin_u = u < 0.9 * BIG
+    fin_l = l > -0.9 * BIG
+    dyp = jnp.maximum(dy, 0.0)
+    dyn_ = jnp.minimum(dy, 0.0)
+    support = (jnp.sum(jnp.where(~fin_u, dyp, 0.0), axis=-1)
+               + jnp.sum(jnp.where(~fin_l, -dyn_, 0.0), axis=-1))
+    gap_term = (jnp.sum(jnp.where(fin_u, u * dyp, 0.0), axis=-1)
+                + jnp.sum(jnp.where(fin_l, l * dyn_, 0.0), axis=-1))
+    eps_c = 1e-4
+    infeas_cert = ((dy_norm > 1e-12)
+                   & (Atdy <= eps_c * dy_norm)
+                   & (support <= eps_c * dy_norm)
+                   & (gap_term <= -eps_c * dy_norm))
     return AdmmResult(x=x_orig, obj=obj, r_prim=r_prim,
-                      r_prim_rel=r_prim / denom, r_dual=r_dual,
-                      y=y, z=z)
+                      r_prim_rel=r_rel, r_dual=r_dual,
+                      infeas_cert=infeas_cert, y=y, z=z)
 
 
 def admm_solve_batch(spec: BoxQP, q, h, lb, ub, iters: int = 100):

@@ -206,16 +206,21 @@ def admm_solve_pallas(pq: PallasQP, q, h, lb, ub, iters: int = 100,
     Ax = jnp.matmul(x, spec.A.T, precision=prec)
     l0, u0 = _unpadded_bounds(spec, h, lb, ub)
     Ax_orig = Ax / spec.E
-    r_prim = jnp.max(jnp.abs(Ax - jnp.clip(Ax, l0, u0)) / spec.E, axis=-1)
-    denom = jnp.maximum(1.0, jnp.max(jnp.abs(Ax_orig), axis=-1))
+    viol = jnp.abs(Ax - jnp.clip(Ax, l0, u0)) / spec.E
+    r_prim = jnp.max(viol, axis=-1)
+    r_rel = jnp.max(viol / jnp.maximum(1.0, jnp.abs(Ax_orig)), axis=-1)
     qh_s = c * spec.D * q
     dual = (jnp.matmul(x, spec.P.T, precision=prec) + qh_s
             + jnp.matmul(y, spec.A, precision=prec)) / (spec.D * c)
     r_dual = jnp.max(jnp.abs(dual), axis=-1)
     obj = (0.5 * jnp.sum(x * jnp.matmul(x, spec.P.T, precision=prec),
                          axis=-1) + jnp.sum(qh_s * x, axis=-1)) / c
+    # kernel does not expose δy → no certificate (conservative False:
+    # callers treat non-converged nodes as "branch anyway", never prune)
+    cert = jnp.zeros(r_prim.shape, bool)
     return AdmmResult(x=spec.D * x, obj=obj, r_prim=r_prim,
-                      r_prim_rel=r_prim / denom, r_dual=r_dual, y=y, z=z)
+                      r_prim_rel=r_rel, r_dual=r_dual,
+                      infeas_cert=cert, y=y, z=z)
 
 
 def _unpadded_bounds(spec: BoxQP, h, lb, ub):

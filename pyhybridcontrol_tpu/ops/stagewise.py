@@ -1,0 +1,345 @@
+"""Stagewise (sparse, O(N)) MPC QP solver — the long-horizon path
+(SURVEY.md §5 "long-context / sequence parallelism": condensed form is
+O(N²) memory; for large N switch to the stagewise form solved by a
+Riccati-like block-tridiagonal factorization inside the QP solver).
+
+Formulation. Stage variables ξ_k = [v_k; x_{k+1}], k = 0…N−1 (block size
+b = nv + nx — states are NOT eliminated). OSQP-form rows per stage:
+
+    dynamics (equality, l=u):  x_{k+1} − Bv v_k − A x_k = b5 + B4 ω_k
+    stage ineq:                E x_k + Fv v_k ≤ f5 − F4 ω_k
+    box:                       lb_k ≤ ξ_k ≤ ub_k
+
+x_k lives in ξ_{k−1} (x_0 is data, folded into the k=0 bounds), so every
+row couples at most (ξ_{k−1}, ξ_k): AᵀA — and hence the ADMM KKT matrix
+K = P + σI + Aᵀdiag(ρ)A — is block-tridiagonal. K is factored ONCE on
+the host (fp64 block LU, the Riccati-like sweep); each ADMM iteration
+applies A/Aᵀ stage-locally (batched small matmuls over (B, N) on the
+MXU) and solves Kξ = t with two length-N ``lax.scan`` sweeps carrying a
+(B, b) block. Memory and FLOPs are O(N·b²) per solve instead of the
+condensed path's O(N²·nv²) — the horizon is the sequence axis and this
+is its O(N) attention-free treatment.
+
+Same per-row-ρ equality boost as ops/admm.py: dynamics rows (true
+equalities) get ρ·rho_eq_scale, binary box rows likewise.
+
+Supported weights: Qx/QxN/qx/qxN, Ru/ru, Qdelta/qdelta, Rz/rz, x_ref,
+per-step price sequences. (Δu rate and y-output weights need one more
+off-diagonal block / output row block — condensed path covers them.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyhybridcontrol_tpu.mld.model import MldModel
+from pyhybridcontrol_tpu.ops.admm import AdmmResult
+from pyhybridcontrol_tpu.ops.condense import MpcWeights, _sq, _vec
+
+BIG = 1e30
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class StagewiseQP:
+    """Prepared stagewise ADMM data (pytree). Shapes: b = nv+nx block,
+    m_k = nx + ncons + b rows per stage."""
+
+    # per-stage constraint blocks (shared across k)
+    Bv: jnp.ndarray          # (nx, nv)
+    A_dyn: jnp.ndarray       # (nx, nx)
+    E: jnp.ndarray           # (nc, nx)
+    Fv: jnp.ndarray          # (nc, nv)
+    # objective
+    P_diag: jnp.ndarray      # (N, b, b) block-diagonal quadratic
+    q0: jnp.ndarray          # (N, b) constant linear term
+    # K factorization (block LU): forward L, diagonal-inverse U⁻¹, and
+    # the back-substitution coupler C_k = U_k⁻¹ K_{k,k+1}
+    L: jnp.ndarray           # (N, b, b), L[0] unused
+    Uinv: jnp.ndarray        # (N, b, b)
+    C: jnp.ndarray           # (N, b, b), C[N-1] unused
+    # bounds templates
+    lb_xi: jnp.ndarray       # (N, b) variable box
+    ub_xi: jnp.ndarray       # (N, b)
+    f5: jnp.ndarray          # (nc,)
+    b5: jnp.ndarray          # (nx,)
+    B4: jnp.ndarray          # (nx, nw)
+    F4: jnp.ndarray          # (nc, nw)
+    rho_rows: jnp.ndarray    # (N, m_k) per-row ρ
+    N: int = dataclasses.field(metadata=dict(static=True))
+    nx: int = dataclasses.field(metadata=dict(static=True))
+    nv: int = dataclasses.field(metadata=dict(static=True))
+    nc: int = dataclasses.field(metadata=dict(static=True))
+    sigma: float = dataclasses.field(metadata=dict(static=True))
+    alpha: float = dataclasses.field(metadata=dict(static=True))
+    binary_idx_v: tuple = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def b(self) -> int:
+        return self.nv + self.nx
+
+    @property
+    def m_k(self) -> int:
+        return self.nx + self.nc + self.b
+
+
+def prepare_stagewise(model: MldModel, N: int,
+                      weights: Optional[MpcWeights] = None,
+                      rho: float = 1.0, rho_eq_scale: float = 1e3,
+                      sigma: float = 1e-6, alpha: float = 1.6,
+                      reg: float = 1e-8,
+                      dtype=jnp.float32) -> StagewiseQP:
+    """Host fp64 build: stage blocks + block-tridiagonal LU of K."""
+    w = weights or MpcWeights()
+    info = model.info
+    m = model.numpy_mats()
+    nx, nv, nc = info.nx, info.nv, info.ncons
+    b = nv + nx
+    Bv = np.hstack([m.B1, m.B2, m.B3])
+    Fv = np.hstack([m.F1, m.F2, m.F3])
+
+    # objective blocks (same user convention as condense.py: ×2 internal)
+    Qx = _sq(w.Qx, nx)
+    QxN = _sq(w.QxN, nx) if w.QxN is not None else Qx
+    Rv = np.zeros((nv, nv))
+    Rv[info.u_slice, info.u_slice] = _sq(w.Ru, info.nu)
+    Rv[info.delta_slice, info.delta_slice] = _sq(w.Qdelta, info.ndelta)
+    Rv[info.z_slice, info.z_slice] = _sq(w.Rz, info.nz)
+    rv = np.concatenate([_vec(w.ru, info.nu), _vec(w.qdelta, info.ndelta),
+                         _vec(w.rz, info.nz)])
+    qx = _vec(w.qx, nx)
+    qxN = _vec(w.qxN, nx) if w.qxN is not None else qx
+
+    P_diag = np.zeros((N, b, b))
+    q0 = np.zeros((N, b))
+    for k in range(N):
+        Qk = QxN if k == N - 1 else Qx
+        qk = qxN if k == N - 1 else qx
+        if w.x_ref is not None:
+            qk = qk - 2.0 * (Qk @ _vec(w.x_ref, nx))
+        P_diag[k, :nv, :nv] = 2.0 * Rv
+        P_diag[k, nv:, nv:] = 2.0 * Qk
+        P_diag[k] += reg * np.eye(b)
+        q0[k, :nv] = rv
+        q0[k, nv:] = qk
+
+    # per-stage A blocks. Row layout: [dyn(nx); ineq(nc); box(b)].
+    # "own" block J_k (cols = ξ_k), "prev" block M_k (cols = ξ_{k−1}).
+    # J: dyn rows [−Bv, I]; ineq rows [Fv, 0]; box rows I_b
+    # M: dyn rows [0, −A]; ineq rows [0, E]; box 0
+    m_k = nx + nc + b
+
+    # ---- K = P + σI + Aᵀdiag(ρ)A (block tridiagonal), host fp64 ----
+    rho_rows = np.full(m_k, rho)
+    rho_rows[:nx] = rho * rho_eq_scale          # dynamics equalities
+    vb_mask = info.v_binary_mask
+    box_rho = np.full(b, rho)
+    box_rho[:nv][vb_mask] = rho * rho_eq_scale  # binary boxes
+    rho_rows[nx + nc:] = box_rho
+    rho_full = np.tile(rho_rows, (N, 1))
+
+    J = np.zeros((m_k, b))
+    J[:nx, :nv] = -Bv
+    J[:nx, nv:] = np.eye(nx)
+    J[nx:nx + nc, :nv] = Fv
+    J[nx + nc:, :] = np.eye(b)
+    M = np.zeros((m_k, b))
+    M[:nx, nv:] = -m.A
+    M[nx:nx + nc, nv:] = m.E
+
+    R = np.diag(rho_rows)
+    K_diag = np.zeros((N, b, b))
+    K_off = np.zeros((N, b, b))       # K_{k,k-1} = J'R M  ... careful:
+    # rows of stage k touch ξ_k (J) and ξ_{k−1} (M):
+    #   K_{k,k}   += JᵀRJ  (from stage-k rows) + MᵀRM (from stage-k+1 rows)
+    #   K_{k,k−1}  = (stage-k rows): JᵀR M   → couples ξ_k(row-own) ξ_{k−1}
+    JtRJ = J.T @ R @ J
+    MtRM = M.T @ R @ M
+    JtRM = J.T @ R @ M
+    for k in range(N):
+        K_diag[k] = P_diag[k] + sigma * np.eye(b) + JtRJ
+        if k + 1 < N:
+            K_diag[k] += MtRM
+        if k >= 1:
+            K_off[k] = JtRM           # K_{k,k−1}
+    # Note: stage-0 rows have no ξ_{−1}; their M-part references x_0 which
+    # is DATA (enters l/u), so M does not contribute to K at k=0. ✓
+
+    # block LU: U_0 = K_00; L_k = K_{k,k−1} U_{k−1}⁻¹; U_k = K_kk − L_k K_{k−1,k}
+    L = np.zeros((N, b, b))
+    Uinv = np.zeros((N, b, b))
+    C = np.zeros((N, b, b))
+    U_prev = None
+    K_off_T = np.transpose(K_off, (0, 2, 1))   # K_{k−1,k} = (K_{k,k−1})ᵀ
+    for k in range(N):
+        if k == 0:
+            U = K_diag[0]
+        else:
+            L[k] = K_off[k] @ np.linalg.inv(U_prev)
+            U = K_diag[k] - L[k] @ K_off_T[k]
+        Uinv[k] = np.linalg.inv(U)
+        U_prev = U
+    for k in range(N - 1):
+        C[k] = Uinv[k] @ K_off_T[k + 1]        # coupler for back-subst
+
+    # variable boxes
+    lb_xi = np.full((N, b), -BIG)
+    ub_xi = np.full((N, b), BIG)
+    lb_xi[:, :nv][:, vb_mask] = 0.0
+    ub_xi[:, :nv][:, vb_mask] = 1.0
+
+    as_ = lambda a: jnp.asarray(a, dtype)
+    return StagewiseQP(
+        Bv=as_(Bv), A_dyn=as_(m.A), E=as_(m.E), Fv=as_(Fv),
+        P_diag=as_(P_diag), q0=as_(q0),
+        L=as_(L), Uinv=as_(Uinv), C=as_(C),
+        lb_xi=as_(lb_xi), ub_xi=as_(ub_xi),
+        f5=as_(m.f5[:, 0]), b5=as_(m.b5[:, 0]), B4=as_(m.B4),
+        F4=as_(m.F4), rho_rows=as_(rho_full),
+        N=N, nx=nx, nv=nv, nc=nc, sigma=float(sigma), alpha=float(alpha),
+        binary_idx_v=tuple(int(i) for i in np.nonzero(vb_mask)[0]))
+
+
+# ---------------------------------------------------------------------------
+# structured operators (batched over leading dims; stage axis = -2)
+# ---------------------------------------------------------------------------
+
+
+def _apply_A(sw: StagewiseQP, xi):
+    """A ξ: (…, N, b) → (…, N, m_k)."""
+    v = xi[..., :, : sw.nv]
+    xnext = xi[..., :, sw.nv:]                    # x_{k+1}
+    xprev = jnp.concatenate(
+        [jnp.zeros_like(xnext[..., :1, :]), xnext[..., :-1, :]], axis=-2)
+    dyn = (xnext - jnp.einsum("ij,...kj->...ki", sw.Bv, v)
+           - jnp.einsum("ij,...kj->...ki", sw.A_dyn, xprev))
+    ineq = (jnp.einsum("ij,...kj->...ki", sw.Fv, v)
+            + jnp.einsum("ij,...kj->...ki", sw.E, xprev))
+    return jnp.concatenate([dyn, ineq, xi], axis=-1)
+
+
+def _apply_AT(sw: StagewiseQP, w):
+    """Aᵀ w: (…, N, m_k) → (…, N, b)."""
+    nx, nc, nv = sw.nx, sw.nc, sw.nv
+    wd = w[..., :, :nx]
+    wi = w[..., :, nx:nx + nc]
+    wb = w[..., :, nx + nc:]
+    out_v = (-jnp.einsum("ij,...ki->...kj", sw.Bv, wd)
+             + jnp.einsum("ij,...ki->...kj", sw.Fv, wi))
+    # x_{k+1} (ξ_k's x part) appears in dyn_k (+I), dyn_{k+1} (−A),
+    # ineq_{k+1} (E)
+    wd_next = jnp.concatenate(
+        [wd[..., 1:, :], jnp.zeros_like(wd[..., :1, :])], axis=-2)
+    wi_next = jnp.concatenate(
+        [wi[..., 1:, :], jnp.zeros_like(wi[..., :1, :])], axis=-2)
+    out_x = (wd - jnp.einsum("ij,...ki->...kj", sw.A_dyn, wd_next)
+             + jnp.einsum("ij,...ki->...kj", sw.E, wi_next))
+    return jnp.concatenate([out_v, out_x], axis=-1) + wb
+
+
+def _solve_K(sw: StagewiseQP, r):
+    """K⁻¹ r via the block LU sweeps. r: (…, N, b) → (…, N, b)."""
+    r_t = jnp.moveaxis(r, -2, 0)                  # (N, …, b)
+
+    def fwd(carry, inp):
+        rk, Lk = inp
+        yk = rk - jnp.einsum("ij,...j->...i", Lk, carry)
+        return yk, yk
+
+    y0 = jnp.zeros_like(r_t[0])
+    _, ys = jax.lax.scan(fwd, y0, (r_t, sw.L))
+
+    def bwd(carry, inp):
+        yk, Uk, Ck = inp
+        xk = jnp.einsum("ij,...j->...i", Uk, yk) - jnp.einsum(
+            "ij,...j->...i", Ck, carry)
+        return xk, xk
+
+    x0 = jnp.zeros_like(r_t[0])
+    _, xs = jax.lax.scan(bwd, x0, (ys, sw.Uinv, sw.C), reverse=True)
+    return jnp.moveaxis(xs, 0, -2)
+
+
+def assemble_stagewise(sw: StagewiseQP, x0, W=None, price_seq=None):
+    """Per-solve data: q (N,b), l/u (N,m_k) from (x0, forecasts, prices).
+    price_seq: (N, nv) per-step linear weight on v."""
+    N, nx, nc, nv, b = sw.N, sw.nx, sw.nc, sw.nv, sw.b
+    q = sw.q0
+    if price_seq is not None:
+        q = q.at[..., :, :nv].add(price_seq)
+    dyn_rhs = jnp.broadcast_to(sw.b5, (N, nx))
+    ineq_ub = jnp.broadcast_to(sw.f5, (N, nc))
+    if W is not None and sw.B4.shape[1] > 0:
+        dyn_rhs = dyn_rhs + W @ sw.B4.T
+        ineq_ub = ineq_ub - W @ sw.F4.T
+    # k=0: x_0 is data → move its A/E terms to the bounds
+    dyn_rhs = dyn_rhs.at[0].add(sw.A_dyn @ x0)
+    ineq_ub = ineq_ub.at[0].add(-(sw.E @ x0))
+    l = jnp.concatenate([dyn_rhs, jnp.full_like(ineq_ub, -BIG), sw.lb_xi],
+                        axis=-1)
+    u = jnp.concatenate([dyn_rhs, ineq_ub, sw.ub_xi], axis=-1)
+    return q, l, u
+
+
+def stagewise_admm_solve(sw: StagewiseQP, q, l, u, iters: int = 200,
+                         lb_xi=None, ub_xi=None) -> AdmmResult:
+    """Fixed-iteration ADMM in the stagewise frame. q (…,N,b), l/u
+    (…,N,m_k) from ``assemble_stagewise``; optional per-node variable
+    boxes lb_xi/ub_xi (…,N,b) override the box-row bounds (B&B)."""
+    if lb_xi is not None:
+        l = l.at[..., :, sw.nx + sw.nc:].set(lb_xi)
+        u = u.at[..., :, sw.nx + sw.nc:].set(ub_xi)
+    rho = sw.rho_rows
+    alpha, sigma = sw.alpha, sw.sigma
+    batch = q.shape[:-2]
+    x = jnp.zeros(batch + (sw.N, sw.b), q.dtype)
+    z = jnp.clip(jnp.zeros(batch + (sw.N, sw.m_k), q.dtype), l, u)
+    y = jnp.zeros_like(z)
+
+    def body(_, carry):
+        x, z, y, _ = carry
+        w = rho * z - y
+        t = sigma * x - q + _apply_AT(sw, w)
+        xt = _solve_K(sw, t)
+        zt = _apply_A(sw, xt)
+        zr = alpha * zt + (1.0 - alpha) * z
+        z_new = jnp.clip(zr + y / rho, l, u)
+        y_new = y + rho * (zr - z_new)
+        return xt, z_new, y_new, y_new - y
+
+    x, z, y, dy = jax.lax.fori_loop(0, iters, body,
+                                    (x, z, y, jnp.zeros_like(y)))
+
+    Ax = _apply_A(sw, x)
+    viol = jnp.abs(Ax - jnp.clip(Ax, l, u))
+    r_prim = jnp.max(viol, axis=(-2, -1))
+    r_rel = jnp.max(viol / jnp.maximum(1.0, jnp.abs(Ax)), axis=(-2, -1))
+    Px = jnp.einsum("kij,...kj->...ki", sw.P_diag, x)
+    dual = Px + q + _apply_AT(sw, y)
+    r_dual = jnp.max(jnp.abs(dual), axis=(-2, -1))
+    obj = (0.5 * jnp.sum(x * Px, axis=(-2, -1))
+           + jnp.sum(q * x, axis=(-2, -1)))
+    # primal-infeasibility certificate (see ops/admm.py)
+    dy_norm = jnp.max(jnp.abs(dy), axis=(-2, -1))
+    Atdy = jnp.max(jnp.abs(_apply_AT(sw, dy)), axis=(-2, -1))
+    fin_u = u < 0.9 * BIG
+    fin_l = l > -0.9 * BIG
+    dyp = jnp.maximum(dy, 0.0)
+    dyn_ = jnp.minimum(dy, 0.0)
+    support = (jnp.sum(jnp.where(~fin_u, dyp, 0.0), axis=(-2, -1))
+               + jnp.sum(jnp.where(~fin_l, -dyn_, 0.0), axis=(-2, -1)))
+    gap_term = (jnp.sum(jnp.where(fin_u, u * dyp, 0.0), axis=(-2, -1))
+                + jnp.sum(jnp.where(fin_l, l * dyn_, 0.0), axis=(-2, -1)))
+    eps_c = 1e-4
+    cert = ((dy_norm > 1e-12) & (Atdy <= eps_c * dy_norm)
+            & (support <= eps_c * dy_norm)
+            & (gap_term <= -eps_c * dy_norm))
+    return AdmmResult(x=x, obj=obj, r_prim=r_prim,
+                      r_prim_rel=r_rel, r_dual=r_dual,
+                      infeas_cert=cert, y=y, z=z)

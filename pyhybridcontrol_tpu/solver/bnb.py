@@ -51,9 +51,12 @@ class BnbSpec:
     max_waves: int = 64
     qp_iters: int = 100
     feas_tol: float = 1e-3       # "converged" primal-residual tolerance
-    infeas_tol: float = 1e-1     # "clearly infeasible" threshold (loose);
-    # between the two = unconverged: branch anyway on the parent bound
-    # rather than wrongly pruning a hard-but-feasible relaxation.
+    infeas_tol: float = 0.5      # residual fallback for "clearly
+    # infeasible" — primary detection is the ADMM dual certificate
+    # (AdmmResult.infeas_cert); anything between feas_tol and this is
+    # "unconverged": branch anyway on the parent bound rather than
+    # wrongly pruning a hard-but-feasible relaxation (degenerate PWA
+    # relaxations sit at large residuals for thousands of iterations).
     int_tol: float = 1e-3        # integrality tolerance on relaxed binaries
     gap: float = 1e-4            # absolute pruning gap margin
 
@@ -111,7 +114,8 @@ def _bnb_loop(admm: BoxQP, qp: DeviceQP, f, h, spec: BnbSpec,
               exchange_children=None,
               reduce_incumbent=None,
               global_any_active=None,
-              root_device_pred=None) -> BnbResult:
+              root_device_pred=None,
+              init_incumbent=None) -> BnbResult:
     """Shared B&B wave loop. The three optional hooks are the multi-device
     seams (SURVEY.md §2b ``dist/collective``):
 
@@ -141,6 +145,17 @@ def _bnb_loop(admm: BoxQP, qp: DeviceQP, f, h, spec: BnbSpec,
         # SPMD: only the root device's pool starts with the root node
         state = dataclasses.replace(
             state, active=state.active & root_device_pred)
+    if init_incumbent is not None:
+        # seed from a heuristic (e.g. rollout repair — solver/repair.py):
+        # any feasible point is a valid upper bound from wave 0.
+        obj0, x0V, ok0 = init_incumbent
+        state = dataclasses.replace(
+            state,
+            inc_obj=jnp.where(ok0, obj0.astype(state.inc_obj.dtype),
+                              state.inc_obj),
+            inc_x=jnp.where(ok0, x0V.astype(state.inc_x.dtype),
+                            state.inc_x),
+            inc_found=state.inc_found | ok0)
 
     def node_bounds(fm, fv):
         """(W, n) lb/ub for nodes given fixed-binary masks/values."""
@@ -170,7 +185,7 @@ def _bnb_loop(admm: BoxQP, qp: DeviceQP, f, h, spec: BnbSpec,
         lb, ub = node_bounds(fm, fv)
         relax = admm_solve(admm, fb, hb, lb, ub, iters=spec.qp_iters)
         converged = relax.r_prim_rel < spec.feas_tol
-        infeasible = relax.r_prim_rel > spec.infeas_tol
+        infeasible = relax.infeas_cert | (relax.r_prim_rel > spec.infeas_tol)
         # trustworthy lower bound only when converged; otherwise inherit
         # the parent bound (still valid) so the child ordering stays sane.
         lower = jnp.where(valid & converged, relax.obj,
@@ -273,7 +288,9 @@ def _bnb_loop(admm: BoxQP, qp: DeviceQP, f, h, spec: BnbSpec,
 
 @partial(jax.jit, static_argnames=("spec",))
 def solve_miqp_bnb(admm: BoxQP, qp: DeviceQP, f, h,
-                   spec: BnbSpec = BnbSpec()) -> BnbResult:
+                   spec: BnbSpec = BnbSpec(),
+                   init_incumbent=None) -> BnbResult:
     """Solve  min ½VᵀHV + fᵀV  s.t. GV ≤ h, lb ≤ V ≤ ub, V[bidx] ∈ {0,1}
-    entirely on device. f, h from ``qp.assemble(x0, W, ...)``."""
-    return _bnb_loop(admm, qp, f, h, spec)
+    entirely on device. f, h from ``qp.assemble(x0, W, ...)``.
+    ``init_incumbent``: optional (obj, V, ok) heuristic seed."""
+    return _bnb_loop(admm, qp, f, h, spec, init_incumbent=init_incumbent)
