@@ -10,7 +10,7 @@ mesh (parallel/sharded_bnb.py).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np
@@ -18,8 +18,7 @@ import numpy as np
 from pyhybridcontrol_tpu.agents.agent import Agent
 from pyhybridcontrol_tpu.control.mpc import MpcController
 from pyhybridcontrol_tpu.mld.compose import joint_v_layout
-from pyhybridcontrol_tpu.models.dewh import (
-    DewhParams, dewh_model, dewh_weights)
+from pyhybridcontrol_tpu.models.dewh import DewhParams, dewh_model
 from pyhybridcontrol_tpu.models.grid import (
     GridParams, micro_grid_mld, micro_grid_price_seq)
 from pyhybridcontrol_tpu.ops.condense import MpcWeights

@@ -15,8 +15,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Dict, Optional
 
-import numpy as np
-
 from pyhybridcontrol_tpu.solver.bnb import BnbSpec
 
 

@@ -25,8 +25,6 @@ from pyhybridcontrol_tpu.solver.bnb import BnbSpec, solve_miqp_bnb
 from pyhybridcontrol_tpu.solver.enumerate import (
     _all_assignments, _enumerate_solve)
 
-import numpy as np
-
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass

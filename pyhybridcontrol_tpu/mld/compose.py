@@ -11,7 +11,7 @@ condensation, the MIQP engines, and the closed loop apply unchanged
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -28,7 +28,7 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
-from pyhybridcontrol_tpu.mld.info import MldInfo, VarTypes
+from pyhybridcontrol_tpu.mld.info import MldInfo
 from pyhybridcontrol_tpu.mld.model import MldModel
 
 

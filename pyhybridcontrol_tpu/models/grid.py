@@ -9,11 +9,11 @@ row  Σ_i P_h,i · u_i ≤ P_max  appended to the aggregate MLD.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
-from pyhybridcontrol_tpu.mld.compose import aggregate_mld, joint_v_layout
+from pyhybridcontrol_tpu.mld.compose import aggregate_mld
 from pyhybridcontrol_tpu.mld.model import MldModel
 from pyhybridcontrol_tpu.models.dewh import DewhParams, dewh_model
 

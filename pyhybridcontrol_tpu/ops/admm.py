@@ -179,7 +179,12 @@ def admm_solve(spec: BoxQP, q, h, lb, ub, iters: int = 100,
         z = jnp.clip(jnp.zeros(batch + (mt,), qh.dtype), l, u)
         y = jnp.zeros(batch + (mt,), qh.dtype)
     else:
-        x, z, y = warm
+        # warm = (x in ORIGINAL units, z scaled, y scaled) — i.e. exactly
+        # (res.x, res.z, res.y) of a previous AdmmResult
+        x0w, z0w, y0w = warm
+        x = x0w / spec.D
+        z = jnp.clip(z0w, l, u)
+        y = y0w
 
     AT = spec.A.T
     prec = spec.precision

@@ -25,8 +25,6 @@ into one batched gather + reshape — no Python N² loop on device.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -31,7 +31,6 @@ off-diagonal block / output row block — condensed path covers them.)
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional
 
 import jax

@@ -15,7 +15,7 @@ Multi-host: the same meshes span hosts via ``jax.distributed.initialize``
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import numpy as np

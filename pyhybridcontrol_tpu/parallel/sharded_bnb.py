@@ -23,15 +23,13 @@ decisions run-to-run (tested vs the single-device engine, §4.5).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from pyhybridcontrol_tpu.ops.admm import BoxQP
 from pyhybridcontrol_tpu.ops.condense import DeviceQP
-from pyhybridcontrol_tpu.solver.bnb import BIG, BnbResult, BnbSpec, _bnb_loop
+from pyhybridcontrol_tpu.solver.bnb import BnbResult, BnbSpec, _bnb_loop
 
 
 def solve_miqp_bnb_sharded(admm: BoxQP, qp: DeviceQP, f, h,

@@ -30,8 +30,6 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -59,6 +57,8 @@ class BnbSpec:
     # relaxations sit at large residuals for thousands of iterations).
     int_tol: float = 1e-3        # integrality tolerance on relaxed binaries
     gap: float = 1e-4            # absolute pruning gap margin
+    warm_start: bool = True      # children inherit parent ADMM iterates
+    # (x, z, y) through the node pool — fewer iterations to re-converge
 
 
 @jax.tree_util.register_dataclass
@@ -66,6 +66,9 @@ class BnbSpec:
 class BnbState:
     fix_mask: jnp.ndarray     # (C, nb) bool
     fix_val: jnp.ndarray      # (C, nb) f32
+    x_pool: jnp.ndarray       # (C, n) parent primal (original units)
+    z_pool: jnp.ndarray       # (C, m̄) parent z (scaled frame)
+    y_pool: jnp.ndarray       # (C, m̄) parent dual (scaled frame)
     bound: jnp.ndarray        # (C,) parent relaxation lower bound
     active: jnp.ndarray       # (C,) bool
     depth: jnp.ndarray        # (C,) i32
@@ -91,11 +94,17 @@ class BnbResult:
     best_open_bound: jnp.ndarray   # min bound over still-open nodes (gap)
 
 
-def _init_state(qp: DeviceQP, spec: BnbSpec, dtype) -> BnbState:
+def _init_state(qp: DeviceQP, spec: BnbSpec, dtype, m_total: int
+                ) -> BnbState:
     C, nb, n = spec.capacity, qp.n_binary, qp.n
+    mw = m_total if spec.warm_start else 1
+    nw = n if spec.warm_start else 1
     return BnbState(
         fix_mask=jnp.zeros((C, nb), bool),
         fix_val=jnp.zeros((C, nb), dtype),
+        x_pool=jnp.zeros((C, nw), dtype),
+        z_pool=jnp.zeros((C, mw), dtype),
+        y_pool=jnp.zeros((C, mw), dtype),
         bound=jnp.full((C,), -BIG, dtype),
         active=jnp.zeros((C,), bool).at[0].set(True),
         depth=jnp.zeros((C,), jnp.int32),
@@ -137,7 +146,7 @@ def _bnb_loop(admm: BoxQP, qp: DeviceQP, f, h, spec: BnbSpec,
     bidx = jnp.asarray(np.asarray(qp.binary_idx, np.int32))
     W = spec.wave_size
     dtype = f.dtype
-    state = _init_state(qp, spec, dtype)
+    state = _init_state(qp, spec, dtype, admm.m_total)
     if not root_active:
         state = dataclasses.replace(
             state, active=jnp.zeros_like(state.active))
@@ -183,7 +192,10 @@ def _bnb_loop(admm: BoxQP, qp: DeviceQP, f, h, spec: BnbSpec,
 
         # -- 2. batched relaxations -------------------------------------
         lb, ub = node_bounds(fm, fv)
-        relax = admm_solve(admm, fb, hb, lb, ub, iters=spec.qp_iters)
+        warm = ((s.x_pool[sel], s.z_pool[sel], s.y_pool[sel])
+                if spec.warm_start else None)
+        relax = admm_solve(admm, fb, hb, lb, ub, iters=spec.qp_iters,
+                           warm=warm)
         converged = relax.r_prim_rel < spec.feas_tol
         infeasible = relax.infeas_cert | (relax.r_prim_rel > spec.infeas_tol)
         # trustworthy lower bound only when converged; otherwise inherit
@@ -201,7 +213,8 @@ def _bnb_loop(admm: BoxQP, qp: DeviceQP, f, h, spec: BnbSpec,
         pv = jnp.where(fm, fv, rounded)
         ones = jnp.ones_like(fm)
         lb_p, ub_p = node_bounds(ones, pv)
-        probe = admm_solve(admm, fb, hb, lb_p, ub_p, iters=spec.qp_iters)
+        probe = admm_solve(admm, fb, hb, lb_p, ub_p, iters=spec.qp_iters,
+                           warm=(relax.x, relax.z, relax.y))
         probe_ok = (probe.r_prim_rel < spec.feas_tol) & valid
         probe_obj = jnp.where(probe_ok, probe.obj, BIG)
         k = jnp.argmin(probe_obj)
@@ -241,12 +254,20 @@ def _bnb_loop(admm: BoxQP, qp: DeviceQP, f, h, spec: BnbSpec,
         bound = s.bound.at[sel].set(child_bound)
         depth = s.depth.at[sel].set(cdepth)
         active = active.at[sel].set(expand)
+        if spec.warm_start:
+            x_pool = s.x_pool.at[sel].set(relax.x)
+            z_pool = s.z_pool.at[sel].set(relax.z)
+            y_pool = s.y_pool.at[sel].set(relax.y)
+        else:
+            x_pool, z_pool, y_pool = s.x_pool, s.z_pool, s.y_pool
 
         # child-1 → free slots; best-bound children win on overflow.
         # Multi-device: the child-1 batch is exchanged across devices
         # first (load balancing — SURVEY.md §5 "node redistribution").
         c1 = dict(fm=cfm, fv=cfv1, bound=child_bound, depth=cdepth,
                   live=expand)
+        if spec.warm_start:
+            c1.update(xw=relax.x, zw=relax.z, yw=relax.y)
         if exchange_children is not None:
             c1 = exchange_children(c1)
         cfm1, cfv1x = c1["fm"], c1["fv"]
@@ -266,6 +287,10 @@ def _bnb_loop(admm: BoxQP, qp: DeviceQP, f, h, spec: BnbSpec,
         bound = bound.at[tgt_safe].set(cb1[src], mode="drop")
         depth = depth.at[tgt_safe].set(cd1[src], mode="drop")
         active = active.at[tgt_safe].set(True, mode="drop")
+        if spec.warm_start:
+            x_pool = x_pool.at[tgt_safe].set(c1["xw"][src], mode="drop")
+            z_pool = z_pool.at[tgt_safe].set(c1["zw"][src], mode="drop")
+            y_pool = y_pool.at[tgt_safe].set(c1["yw"][src], mode="drop")
         overflow = s.overflow | jnp.any(clive[src] & ~slot_free)
 
         alive = jnp.any(active)
@@ -273,7 +298,9 @@ def _bnb_loop(admm: BoxQP, qp: DeviceQP, f, h, spec: BnbSpec,
             alive = global_any_active(alive)
 
         return BnbState(
-            fix_mask=fix_mask, fix_val=fix_val, bound=bound, active=active,
+            fix_mask=fix_mask, fix_val=fix_val,
+            x_pool=x_pool, z_pool=z_pool, y_pool=y_pool,
+            bound=bound, active=active,
             depth=depth, inc_obj=inc_obj, inc_x=inc_x, inc_found=inc_found,
             wave=s.wave + 1,
             nodes_solved=s.nodes_solved + jnp.sum(valid.astype(jnp.int32)),

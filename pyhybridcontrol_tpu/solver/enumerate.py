@@ -7,14 +7,13 @@ as the on-device parity reference for the B&B engine.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pyhybridcontrol_tpu.ops.admm import AdmmResult, BoxQP, admm_solve
+from pyhybridcontrol_tpu.ops.admm import BoxQP, admm_solve
 from pyhybridcontrol_tpu.ops.condense import DeviceQP
 
 BIG = 1e30

@@ -30,7 +30,6 @@ need not be blocked) — gate on T_full being the identity.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional
 
 import jax
