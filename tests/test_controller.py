@@ -1,0 +1,90 @@
+"""MpcController behavior: version-cached rebuilds, weight updates,
+output-cost (Qy) objective path, terminal constraints."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyhybridcontrol_tpu.control.mpc import MpcController
+from pyhybridcontrol_tpu.models.double_integrator import (
+    switched_double_integrator, default_weights)
+from pyhybridcontrol_tpu.ops.condense import CondensedMpc, MpcWeights
+
+
+def test_version_cached_build():
+    model = switched_double_integrator()
+    ctrl = MpcController(model, 6, default_weights())
+    ctrl.build()
+    c1 = ctrl.condensed
+    ctrl.build()
+    assert ctrl.condensed is c1            # no rebuild
+    ctrl.set_std_obj_weights(Ru=np.array([0.5]))
+    assert ctrl.condensed is not c1        # weight change → rebuild
+    with pytest.raises(AttributeError):
+        ctrl.set_std_obj_weights(nope=1.0)
+
+
+def test_horizon_change_rebuilds():
+    model = switched_double_integrator()
+    ctrl = MpcController(model, 6, default_weights())
+    n1 = ctrl.device_qp.n
+    ctrl.set_horizon(8)
+    assert ctrl.device_qp.n == n1 // 6 * 8
+
+
+def test_output_cost_objective(rng):
+    """Qy on y = Cx (+D v): objective differences match hand-computed
+    stage sums (covers the Γy path of the condensation)."""
+    model = switched_double_integrator()
+    N = 5
+    w = MpcWeights(Qy=np.array([2.0, 0.0]), Ru=np.array([0.1]))
+    c = CondensedMpc(model, N, w)
+    m = model.numpy_mats()
+    x0 = rng.normal(size=2)
+
+    def stage_cost(V):
+        x = x0.copy()
+        Bv = np.hstack([m.B1, m.B2, m.B3])
+        J = 0.0
+        for k in range(N):
+            y = m.C @ x  # D terms are zero for this model
+            J += 2.0 * y[0] ** 2 + 0.1 * V[k, 0] ** 2
+            x = m.A @ x + Bv @ V[k] + m.b5[:, 0]
+        return J
+
+    f, _ = c.assemble_np(x0)
+    V1 = rng.uniform(-1, 1, size=(N, 3))
+    V2 = rng.uniform(-1, 1, size=(N, 3))
+    qd = (0.5 * V1.reshape(-1) @ c.H @ V1.reshape(-1) + f @ V1.reshape(-1)
+          - 0.5 * V2.reshape(-1) @ c.H @ V2.reshape(-1) - f @ V2.reshape(-1))
+    np.testing.assert_allclose(qd, stage_cost(V1) - stage_cost(V2),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_terminal_constraint_enforced():
+    """E_N x_N ≤ f_N forces the terminal state into a box."""
+    model = switched_double_integrator()
+    w = default_weights()
+    EN = np.array([[1.0, 0.0], [-1.0, 0.0]])
+    fN = np.array([0.1, 0.1])              # |p_N| ≤ 0.1
+    ctrl = MpcController(model, 10, w, solver="enumerate", qp_iters=500)
+    ctrl.set_terminal_constraint(EN, fN)
+    sol = ctrl.feedback(jnp.asarray([1.5, 0.0]))
+    assert bool(sol.found)
+    # roll the planned sequence forward: terminal position inside box
+    xs, _ = model.lsim(jnp.asarray([1.5, 0.0]), sol.v_seq)
+    assert abs(float(xs[-1][0])) <= 0.1 + 5e-2
+
+
+def test_feedback_with_forecast_and_prices():
+    from tests.test_scenario_tree import _omega_model
+
+    model = _omega_model()
+    ctrl = MpcController(model, 4, default_weights(), solver="bnb")
+    W = np.full((4, 1), 0.5, np.float32)
+    prices = np.zeros((4, model.info.nv), np.float32)
+    prices[:, 0] = 0.2
+    sol = ctrl.feedback(jnp.asarray([1.0, 0.0]), omega_forecast=W,
+                        price_seq=prices, u_prev=np.array([0.3]))
+    assert bool(sol.found)
+    assert sol.v_seq.shape == (4, model.info.nv)
