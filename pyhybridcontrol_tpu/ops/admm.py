@@ -104,7 +104,7 @@ class AdmmResult:
 def prepare_admm(G: np.ndarray, H: np.ndarray, *, rho: float = 1.0,
                  sigma: float = 1e-6, alpha: float = 1.6,
                  q_typical: Optional[np.ndarray] = None,
-                 binary_idx=None, rho_eq_scale: float = 1e3,
+                 binary_idx=None, rho_eq_scale: float = 10.0,
                  dtype=jnp.float32, precision: str = "highest") -> BoxQP:
     """Host-side (float64) preparation: Ruiz equilibration + K⁻¹.
 

@@ -318,26 +318,34 @@ class CondensedMpc:
         c.__dict__.update(self.__dict__)
         return c
 
-    def with_move_blocking(self, groups: Sequence[int]) -> "CondensedMpc":
-        """Move blocking (SURVEY.md §2a): hold u and δ constant within
-        step-groups; z stays per-step. ``groups[k]`` is the block id of
-        step k (nondecreasing, starting at 0). Shrinks both the QP and —
-        critically for B&B — the binary branching set from N·nδ to B·nδ.
+    def with_move_blocking(self, groups: Sequence[int],
+                           block_deltas: bool = False) -> "CondensedMpc":
+        """Move blocking (SURVEY.md §2a): hold the INPUT u constant
+        within step-groups; auxiliaries δ and z stay per-step (they are
+        consequences of the trajectory, not decisions — blocking a
+        startup-indicator δ, for instance, makes any turn-on
+        structurally infeasible). ``groups[k]`` is the block id of step
+        k (nondecreasing, starting at 0). Binary INPUTS shrink from
+        N·nub to B·nub branching variables. ``block_deltas=True``
+        restores joint u+δ blocking for models whose δ are genuine
+        slow decisions.
         """
         info, N, nv = self.info, self.N, self.info.nv
         groups = list(groups)
         if len(groups) != N:
             raise ValueError("groups must have length N")
         B = max(groups) + 1
-        nud = info.nu + info.ndelta
-        nVb = B * nud + N * info.nz
+        nblk = info.nu + (info.ndelta if block_deltas else 0)
+        nstep = nv - nblk                    # per-step: (δ,) z
+        nVb = B * nblk + N * nstep
         T = np.zeros((N * nv, nVb))
         for k in range(N):
             g = groups[k]
-            T[k * nv : k * nv + nud, g * nud : (g + 1) * nud] = np.eye(nud)
-            T[k * nv + nud : (k + 1) * nv,
-              B * nud + k * info.nz : B * nud + (k + 1) * info.nz] = (
-                np.eye(info.nz))
+            T[k * nv : k * nv + nblk,
+              g * nblk : (g + 1) * nblk] = np.eye(nblk)
+            T[k * nv + nblk : (k + 1) * nv,
+              B * nblk + k * nstep : B * nblk + (k + 1) * nstep] = (
+                np.eye(nstep))
         return self._apply_T(T)
 
     def _apply_T(self, T: np.ndarray) -> "CondensedMpc":

@@ -90,7 +90,7 @@ class StagewiseQP:
 
 def prepare_stagewise(model: MldModel, N: int,
                       weights: Optional[MpcWeights] = None,
-                      rho: float = 1.0, rho_eq_scale: float = 1e3,
+                      rho: float = 1.0, rho_eq_scale: float = 10.0,
                       sigma: float = 1e-6, alpha: float = 1.6,
                       reg: float = 1e-8,
                       dtype=jnp.float32) -> StagewiseQP:
@@ -287,19 +287,24 @@ def assemble_stagewise(sw: StagewiseQP, x0, W=None, price_seq=None):
 
 
 def stagewise_admm_solve(sw: StagewiseQP, q, l, u, iters: int = 200,
-                         lb_xi=None, ub_xi=None) -> AdmmResult:
+                         lb_xi=None, ub_xi=None, warm=None) -> AdmmResult:
     """Fixed-iteration ADMM in the stagewise frame. q (…,N,b), l/u
     (…,N,m_k) from ``assemble_stagewise``; optional per-node variable
-    boxes lb_xi/ub_xi (…,N,b) override the box-row bounds (B&B)."""
+    boxes lb_xi/ub_xi (…,N,b) override the box-row bounds (B&B);
+    ``warm``: (x, z, y) of a prior AdmmResult in this frame."""
     if lb_xi is not None:
         l = l.at[..., :, sw.nx + sw.nc:].set(lb_xi)
         u = u.at[..., :, sw.nx + sw.nc:].set(ub_xi)
     rho = sw.rho_rows
     alpha, sigma = sw.alpha, sw.sigma
     batch = q.shape[:-2]
-    x = jnp.zeros(batch + (sw.N, sw.b), q.dtype)
-    z = jnp.clip(jnp.zeros(batch + (sw.N, sw.m_k), q.dtype), l, u)
-    y = jnp.zeros_like(z)
+    if warm is None:
+        x = jnp.zeros(batch + (sw.N, sw.b), q.dtype)
+        z = jnp.clip(jnp.zeros(batch + (sw.N, sw.m_k), q.dtype), l, u)
+        y = jnp.zeros_like(z)
+    else:
+        x, z, y = warm
+        z = jnp.clip(z, l, u)
 
     def body(_, carry):
         x, z, y, _ = carry

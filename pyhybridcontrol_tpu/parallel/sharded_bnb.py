@@ -29,7 +29,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from pyhybridcontrol_tpu.ops.admm import BoxQP
 from pyhybridcontrol_tpu.ops.condense import DeviceQP
-from pyhybridcontrol_tpu.solver.bnb import BnbResult, BnbSpec, _bnb_loop
+from pyhybridcontrol_tpu.solver.bnb import (BnbResult, BnbSpec,
+    CondensedBackend, _bnb_loop)
 
 
 def solve_miqp_bnb_sharded(admm: BoxQP, qp: DeviceQP, f, h,
@@ -67,7 +68,7 @@ def solve_miqp_bnb_sharded(admm: BoxQP, qp: DeviceQP, f, h,
     def shard_body(f_, h_):
         dev = jax.lax.axis_index(axis)
         res = _bnb_loop(
-            admm, qp, f_, h_, spec,
+            CondensedBackend(admm, qp), f_, h_, spec,
             root_active=True,   # mask below: only device 0 starts the root
             exchange_children=exchange_children,
             reduce_incumbent=reduce_incumbent,

@@ -40,6 +40,45 @@ from pyhybridcontrol_tpu.ops.condense import DeviceQP
 BIG = 1e30
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class CondensedBackend:
+    """Default QP backend: condensed DeviceQP + dense ADMM. The B&B
+    loop only touches this interface, so alternative solvers (the
+    stagewise O(N) path — solver/bnb_stagewise.py) plug in the same
+    wave loop."""
+
+    admm: BoxQP
+    qp: DeviceQP
+
+    @property
+    def n(self):
+        return self.qp.n
+
+    @property
+    def lb(self):
+        return self.qp.lb
+
+    @property
+    def ub(self):
+        return self.qp.ub
+
+    @property
+    def binary_idx(self):
+        return self.qp.binary_idx
+
+    @property
+    def warm_size(self):
+        return self.admm.m_total
+
+    def solve(self, f, h, lb, ub, iters, warm=None):
+        return admm_solve(self.admm, f, h, lb, ub, iters=iters, warm=warm)
+
+    def broadcast_data(self, f, h, W):
+        return (jnp.broadcast_to(f, (W,) + f.shape),
+                jnp.broadcast_to(h, (W,) + h.shape))
+
+
 @dataclasses.dataclass(frozen=True)
 class BnbSpec:
     """Static B&B configuration."""
@@ -94,9 +133,9 @@ class BnbResult:
     best_open_bound: jnp.ndarray   # min bound over still-open nodes (gap)
 
 
-def _init_state(qp: DeviceQP, spec: BnbSpec, dtype, m_total: int
+def _init_state(qp, spec: BnbSpec, dtype, m_total: int
                 ) -> BnbState:
-    C, nb, n = spec.capacity, qp.n_binary, qp.n
+    C, nb, n = spec.capacity, len(qp.binary_idx), qp.n
     mw = m_total if spec.warm_start else 1
     nw = n if spec.warm_start else 1
     return BnbState(
@@ -118,7 +157,7 @@ def _init_state(qp: DeviceQP, spec: BnbSpec, dtype, m_total: int
     )
 
 
-def _bnb_loop(admm: BoxQP, qp: DeviceQP, f, h, spec: BnbSpec,
+def _bnb_loop(backend, f, h, spec: BnbSpec,
               root_active: bool = True,
               exchange_children=None,
               reduce_incumbent=None,
@@ -136,17 +175,17 @@ def _bnb_loop(admm: BoxQP, qp: DeviceQP, f, h, spec: BnbSpec,
     Called directly for single-chip solves and from inside ``shard_map``
     for pool-sharded solves (parallel/sharded_bnb.py).
     """
-    nb = qp.n_binary
+    nb = len(backend.binary_idx)
     if nb == 0:
-        res = admm_solve(admm, f, h, qp.lb, qp.ub, iters=spec.qp_iters)
+        res = backend.solve(f, h, backend.lb, backend.ub, spec.qp_iters)
         zero = jnp.asarray(0, jnp.int32)
         return BnbResult(res.x, res.obj, res.r_prim_rel < spec.feas_tol,
                          zero, jnp.asarray(1, jnp.int32),
                          jnp.asarray(False), res.obj)
-    bidx = jnp.asarray(np.asarray(qp.binary_idx, np.int32))
+    bidx = jnp.asarray(np.asarray(backend.binary_idx, np.int32))
     W = spec.wave_size
-    dtype = f.dtype
-    state = _init_state(qp, spec, dtype, admm.m_total)
+    dtype = jnp.result_type(f)
+    state = _init_state(backend, spec, dtype, backend.warm_size)
     if not root_active:
         state = dataclasses.replace(
             state, active=jnp.zeros_like(state.active))
@@ -169,14 +208,13 @@ def _bnb_loop(admm: BoxQP, qp: DeviceQP, f, h, spec: BnbSpec,
     def node_bounds(fm, fv):
         """(W, n) lb/ub for nodes given fixed-binary masks/values."""
         Wb = fm.shape[0]
-        lb = jnp.broadcast_to(qp.lb, (Wb, qp.n))
-        ub = jnp.broadcast_to(qp.ub, (Wb, qp.n))
+        lb = jnp.broadcast_to(backend.lb, (Wb, backend.n))
+        ub = jnp.broadcast_to(backend.ub, (Wb, backend.n))
         lb = lb.at[:, bidx].set(jnp.where(fm, fv, 0.0))
         ub = ub.at[:, bidx].set(jnp.where(fm, fv, 1.0))
         return lb, ub
 
-    fb = jnp.broadcast_to(f, (W, qp.n))
-    hb = jnp.broadcast_to(h, (W, qp.m))
+    fb, hb = backend.broadcast_data(f, h, W)
 
     def cond(s: BnbState):
         return s.alive & (s.wave < spec.max_waves)
@@ -194,8 +232,7 @@ def _bnb_loop(admm: BoxQP, qp: DeviceQP, f, h, spec: BnbSpec,
         lb, ub = node_bounds(fm, fv)
         warm = ((s.x_pool[sel], s.z_pool[sel], s.y_pool[sel])
                 if spec.warm_start else None)
-        relax = admm_solve(admm, fb, hb, lb, ub, iters=spec.qp_iters,
-                           warm=warm)
+        relax = backend.solve(fb, hb, lb, ub, spec.qp_iters, warm=warm)
         converged = relax.r_prim_rel < spec.feas_tol
         infeasible = relax.infeas_cert | (relax.r_prim_rel > spec.infeas_tol)
         # trustworthy lower bound only when converged; otherwise inherit
@@ -213,8 +250,8 @@ def _bnb_loop(admm: BoxQP, qp: DeviceQP, f, h, spec: BnbSpec,
         pv = jnp.where(fm, fv, rounded)
         ones = jnp.ones_like(fm)
         lb_p, ub_p = node_bounds(ones, pv)
-        probe = admm_solve(admm, fb, hb, lb_p, ub_p, iters=spec.qp_iters,
-                           warm=(relax.x, relax.z, relax.y))
+        probe = backend.solve(fb, hb, lb_p, ub_p, spec.qp_iters,
+                              warm=(relax.x, relax.z, relax.y))
         probe_ok = (probe.r_prim_rel < spec.feas_tol) & valid
         probe_obj = jnp.where(probe_ok, probe.obj, BIG)
         k = jnp.argmin(probe_obj)
@@ -320,4 +357,5 @@ def solve_miqp_bnb(admm: BoxQP, qp: DeviceQP, f, h,
     """Solve  min ½VᵀHV + fᵀV  s.t. GV ≤ h, lb ≤ V ≤ ub, V[bidx] ∈ {0,1}
     entirely on device. f, h from ``qp.assemble(x0, W, ...)``.
     ``init_incumbent``: optional (obj, V, ok) heuristic seed."""
-    return _bnb_loop(admm, qp, f, h, spec, init_incumbent=init_incumbent)
+    return _bnb_loop(CondensedBackend(admm, qp), f, h, spec,
+                     init_incumbent=init_incumbent)

@@ -1,0 +1,95 @@
+"""Long-horizon MIQP: branch-and-bound over the stagewise O(N) QP path
+(ops/stagewise.py) — the same wave loop as solver/bnb.py through the
+backend protocol, with node relaxations solved by the block-tridiagonal
+(Riccati-like) stagewise ADMM instead of the dense condensed kernel.
+
+Use when N is large enough that the condensed H (O(N²·nv²)) or its
+KKT inverse stops fitting / paying off — the stagewise path is
+O(N·b²) memory and per-iteration FLOPs, so MIQPs with horizons in the
+hundreds stay on-chip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyhybridcontrol_tpu.ops.stagewise import (
+    StagewiseQP, stagewise_admm_solve)
+from pyhybridcontrol_tpu.solver.bnb import BnbResult, BnbSpec, _bnb_loop
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class StagewiseBackend:
+    """Backend adapter: flat decision vector ξ ∈ R^{N·b} over the
+    stagewise frame. ``h`` packs the stacked (l, u) row bounds."""
+
+    sw: StagewiseQP
+
+    @property
+    def n(self):
+        return self.sw.N * self.sw.b
+
+    @property
+    def lb(self):
+        return self.sw.lb_xi.reshape(-1)
+
+    @property
+    def ub(self):
+        return self.sw.ub_xi.reshape(-1)
+
+    @property
+    def binary_idx(self):
+        sw = self.sw
+        return tuple(k * sw.b + int(i)
+                     for k in range(sw.N) for i in sw.binary_idx_v)
+
+    @property
+    def warm_size(self):
+        return self.sw.N * self.sw.m_k
+
+    def solve(self, f, h, lb, ub, iters, warm=None):
+        sw = self.sw
+        batch = f.shape[:-1]
+        q = f.reshape(batch + (sw.N, sw.b))
+        l = h[..., 0, :, :]
+        u = h[..., 1, :, :]
+        if warm is not None:
+            warm = tuple(w.reshape(batch + (sw.N, -1)) for w in warm)
+        res = stagewise_admm_solve(
+            sw, q, l, u, iters=iters,
+            lb_xi=lb.reshape(batch + (sw.N, sw.b)),
+            ub_xi=ub.reshape(batch + (sw.N, sw.b)),
+            warm=warm)
+        return dataclasses.replace(
+            res,
+            x=res.x.reshape(batch + (self.n,)),
+            z=res.z.reshape(batch + (self.warm_size,)),
+            y=res.y.reshape(batch + (self.warm_size,)))
+
+    def broadcast_data(self, f, h, W):
+        return (jnp.broadcast_to(f, (W,) + f.shape),
+                jnp.broadcast_to(h, (W,) + h.shape))
+
+
+def pack_stagewise_data(q, l, u):
+    """(q, l, u) from ``assemble_stagewise`` → flat (f, h) for the B&B
+    backend: f = q flattened, h = stacked [l; u]."""
+    return q.reshape(-1), jnp.stack([l, u], axis=0)
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def solve_miqp_bnb_stagewise(sw: StagewiseQP, q, l, u,
+                             spec: BnbSpec = BnbSpec(),
+                             init_incumbent=None) -> BnbResult:
+    """B&B over the stagewise frame. (q, l, u) from
+    ``assemble_stagewise(sw, x0, W, prices)``. Returns BnbResult with
+    ``x`` the flat ξ (reshape to (N, b); v_k = ξ_k[:nv])."""
+    f, h = pack_stagewise_data(q, l, u)
+    return _bnb_loop(StagewiseBackend(sw), f, h, spec,
+                     init_incumbent=init_incumbent)

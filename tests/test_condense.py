@@ -121,18 +121,21 @@ def test_move_blocking_map(setup):
     info = model.info
     groups = [0, 0, 0, 1, 1, 1]
     cb = c.with_move_blocking(groups)
-    nud = info.nu + info.ndelta
-    assert cb.nV == 2 * nud + N * info.nz
-    # binary count shrinks from N·nδ to B·nδ
-    assert len(cb.binary_idx) == 2
-    # a blocked decision maps to a full sequence with u,δ constant in groups
+    nu = info.nu
+    # u blocked; δ and z stay per-step (blocking auxiliaries breaks
+    # logic encodings — e.g. startup flags)
+    assert cb.nV == 2 * nu + N * (info.ndelta + info.nz)
+    assert len(cb.binary_idx) == N * info.ndelta   # δ binaries per-step
     Vb = np.arange(cb.nV, dtype=np.float64)
     full = (cb.T_full @ Vb).reshape(N, info.nv)
-    np.testing.assert_allclose(full[0, :nud], full[2, :nud])
-    np.testing.assert_allclose(full[3, :nud], full[5, :nud])
-    assert not np.allclose(full[0, :nud], full[3, :nud])
-    # z entries remain per-step
-    assert not np.allclose(full[0, nud:], full[1, nud:])
+    np.testing.assert_allclose(full[0, :nu], full[2, :nu])
+    np.testing.assert_allclose(full[3, :nu], full[5, :nu])
+    assert not np.allclose(full[0, :nu], full[3, :nu])
+    # δ and z entries remain per-step
+    assert not np.allclose(full[0, nu:], full[1, nu:])
+    # opt-in joint blocking still available
+    cj = c.with_move_blocking(groups, block_deltas=True)
+    assert len(cj.binary_idx) == 2
 
 
 def test_move_blocking_objective_consistent(setup, rng):
