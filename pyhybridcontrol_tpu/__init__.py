@@ -20,8 +20,22 @@ Layer map (bottom → top, SURVEY.md §1):
 
 __version__ = "0.1.0"
 
-from pyhybridcontrol_tpu.utils.structdict import StructDict
+from pyhybridcontrol_tpu.utils.structdict import StructDict, named_struct_dict
 from pyhybridcontrol_tpu.mld.info import MldInfo, VarTypes
 from pyhybridcontrol_tpu.mld.model import MldModel
+from pyhybridcontrol_tpu.mld.pwa import PwaRegion, PwaSystem, pwa_to_mld
+from pyhybridcontrol_tpu.mld.symbolic import MldTemplate
+from pyhybridcontrol_tpu.mld.compose import aggregate_mld
+from pyhybridcontrol_tpu.ops.condense import CondensedMpc, DeviceQP, MpcWeights
+from pyhybridcontrol_tpu.control.mpc import MpcController
+from pyhybridcontrol_tpu.agents.agent import Agent, ControlledAgent, MpcAgent
+from pyhybridcontrol_tpu.loop.closed_loop import closed_loop, make_mpc_step
+from pyhybridcontrol_tpu.solver.bnb import BnbSpec, solve_miqp_bnb
 
-__all__ = ["StructDict", "MldInfo", "MldModel", "VarTypes", "__version__"]
+__all__ = [
+    "StructDict", "named_struct_dict", "MldInfo", "MldModel", "VarTypes",
+    "PwaRegion", "PwaSystem", "pwa_to_mld", "MldTemplate", "aggregate_mld",
+    "CondensedMpc", "DeviceQP", "MpcWeights", "MpcController",
+    "Agent", "ControlledAgent", "MpcAgent", "closed_loop", "make_mpc_step",
+    "BnbSpec", "solve_miqp_bnb", "__version__",
+]

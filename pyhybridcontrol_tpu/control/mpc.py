@@ -22,6 +22,8 @@ from pyhybridcontrol_tpu.ops.admm import prepare_admm_mpc
 from pyhybridcontrol_tpu.ops.condense import CondensedMpc, MpcWeights
 from pyhybridcontrol_tpu.solver.bnb import BnbSpec, solve_miqp_bnb
 from pyhybridcontrol_tpu.solver.enumerate import solve_miqp_enumerate_device
+from pyhybridcontrol_tpu.ops.stagewise import (
+    assemble_stagewise, prepare_stagewise)
 from pyhybridcontrol_tpu.utils.structdict import StructDict
 
 
@@ -93,6 +95,20 @@ class MpcController:
         """Condense + prepare solver data (idempotent per version)."""
         if self._built_version == self._version and self._cmpc is not None:
             return self
+        if self.solver == "stagewise":
+            # long-horizon path: O(N) block-tridiagonal frame. Transforms
+            # that reshape the decision are condensed-frame-only.
+            if (self._soft is not None or self._blocking is not None
+                    or self._extra is not None or self._terminal is not None):
+                raise ValueError(
+                    "solver='stagewise' supports plain stage problems; "
+                    "use the condensed solvers for soft/blocking/extra/"
+                    "terminal transforms")
+            self._sw = prepare_stagewise(self.model, self.N, self.weights,
+                                         rho=self.rho)
+            self._cmpc = None
+            self._built_version = self._version
+            return self
         term = dict()
         if self._terminal is not None:
             term = dict(terminal_E=self._terminal[0],
@@ -158,8 +174,10 @@ class MpcController:
         Returns StructDict(u, delta, z, v_seq, obj, found, nodes).
         """
         self.build()
-        qp, admm = self._qp, self._admm
         x0 = jnp.asarray(x0, jnp.float32)
+        if self.solver == "stagewise":
+            return self._feedback_stagewise(x0, omega_forecast, price_seq)
+        qp, admm = self._qp, self._admm
         W = (jnp.asarray(omega_forecast, jnp.float32)
              if omega_forecast is not None else None)
         Pq = (jnp.asarray(price_seq, jnp.float32)
@@ -196,3 +214,23 @@ class MpcController:
             u=v0[info.u_slice], delta=v0[info.delta_slice],
             z=v0[info.z_slice], v_seq=v_seq, obj=obj, found=found,
             nodes=nodes)
+
+    def _feedback_stagewise(self, x0, omega_forecast, price_seq):
+        from pyhybridcontrol_tpu.solver.bnb_stagewise import (
+            solve_miqp_bnb_stagewise)
+
+        sw = self._sw
+        W = (jnp.asarray(omega_forecast, jnp.float32)
+             if omega_forecast is not None else None)
+        Pq = (jnp.asarray(price_seq, jnp.float32)
+              if price_seq is not None else None)
+        q, l, u = assemble_stagewise(sw, x0, W, Pq)
+        res = solve_miqp_bnb_stagewise(sw, q, l, u, self.bnb_spec)
+        xi = res.x.reshape(sw.N, sw.b)
+        v_seq = xi[:, : sw.nv]
+        info = self.model.info
+        v0 = v_seq[0]
+        return StructDict(
+            u=v0[info.u_slice], delta=v0[info.delta_slice],
+            z=v0[info.z_slice], v_seq=v_seq, obj=res.obj,
+            found=res.found, nodes=res.nodes_solved, x_seq=xi[:, sw.nv:])

@@ -88,3 +88,22 @@ def test_feedback_with_forecast_and_prices():
                         price_seq=prices, u_prev=np.array([0.3]))
     assert bool(sol.found)
     assert sol.v_seq.shape == (4, model.info.nv)
+
+
+def test_stagewise_solver_option():
+    """solver='stagewise': long-horizon feedback through the controller."""
+    model = switched_double_integrator()
+    from pyhybridcontrol_tpu.solver.bnb import BnbSpec
+
+    ctrl = MpcController(model, 40, default_weights(), solver="stagewise",
+                         bnb_spec=BnbSpec(capacity=128, wave_size=8,
+                                          qp_iters=400, max_waves=16))
+    sol = ctrl.feedback(jnp.asarray([2.0, 0.0]))
+    assert bool(sol.found)
+    assert sol.v_seq.shape == (40, model.info.nv)
+    assert sol.x_seq.shape == (40, model.info.nx)
+    # transforms are condensed-frame-only
+    ctrl2 = MpcController(model, 10, default_weights(), solver="stagewise")
+    ctrl2.set_move_blocking([k // 2 for k in range(10)])
+    with pytest.raises(ValueError):
+        ctrl2.build()
