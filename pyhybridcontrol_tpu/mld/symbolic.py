@@ -57,6 +57,38 @@ class MldTemplate:
     __call__ = materialize
 
 
+def from_sympy(symbolic_mats, info: Optional[MldInfo] = None,
+               dtype=None) -> MldTemplate:
+    """Build an MldTemplate from sympy expression matrices — the
+    reference's exact symbolic workflow (SURVEY.md §3.1: sympy matrices
+    + free symbols → lambdify → numeric materialization with parameter
+    values).
+
+        import sympy as sp
+        Ts, tau = sp.symbols("Ts tau")
+        tmpl = from_sympy({"A": sp.Matrix([[1, Ts], [0, 1 - Ts/tau]]),
+                           "B1": sp.Matrix([[0], [Ts/tau]])})
+        model = tmpl.materialize(Ts=0.25, tau=2.0)
+    """
+    import sympy as sp
+
+    mats = {k: sp.Matrix(v) for k, v in symbolic_mats.items()}
+    symbols = sorted(
+        {s for m in mats.values() for s in m.free_symbols},
+        key=lambda s: s.name)
+    names = [s.name for s in symbols]
+    fns = {k: sp.lambdify(symbols, m, modules="numpy")
+           for k, m in mats.items()}
+
+    def builder(**params):
+        vals = [params[n] for n in names]
+        return {k: np.asarray(fn(*vals), dtype=np.float64)
+                for k, fn in fns.items()}
+
+    return MldTemplate(builder, required=tuple(names), info=info,
+                       dtype=dtype)
+
+
 def _param_key(p):
     try:
         return tuple(sorted(

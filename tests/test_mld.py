@@ -179,3 +179,25 @@ def test_pwa_mld_rejects_wrong_region(rng):
         jnp.asarray(x, jnp.float32), jnp.asarray(u, jnp.float32),
         jnp.asarray(delta, jnp.float32), jnp.asarray(z, jnp.float32))
     assert np.max(np.asarray(r)) > 1e-3, "wrong-region point accepted"
+
+
+def test_from_sympy_template():
+    """Reference workflow parity: sympy expression matrices → lambdify →
+    numeric materialization (SURVEY.md §3.1)."""
+    sympy = pytest.importorskip("sympy")
+    import sympy as sp
+
+    from pyhybridcontrol_tpu.mld.symbolic import from_sympy
+
+    Ts, tau = sp.symbols("Ts tau")
+    tmpl = from_sympy({
+        "A": sp.Matrix([[1, Ts], [0, 1 - Ts / tau]]),
+        "B1": sp.Matrix([[0], [Ts / tau]]),
+    })
+    m = tmpl.materialize(Ts=0.25, tau=2.0)
+    np.testing.assert_allclose(np.asarray(m.mats.A),
+                               [[1.0, 0.25], [0.0, 0.875]], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(m.mats.B1),
+                               [[0.0], [0.125]], rtol=1e-6)
+    with pytest.raises(ValueError):
+        tmpl.materialize(Ts=0.25)      # missing tau
