@@ -87,21 +87,25 @@ class MicroGridCoordinator:
         return sol
 
     def sim_step(self, omega_k=None, omega_forecast=None) -> StructDict:
-        """Coordinator step: aggregate solve → distribute → advance all."""
+        """Coordinator step: aggregate solve → distribute → advance all.
+        Binary heater inputs are rounded to exact {0,1} before being
+        applied (solver binaries carry ~1e-6 fp noise)."""
         sol = self.feedback(omega_forecast)
         total_power = 0.0
         for i, (agent, pa) in enumerate(zip(self.agents, sol.per_agent)):
             w = (jnp.asarray(omega_k[i], jnp.float32).reshape(1)
                  if omega_k is not None else None)
-            y = agent.sim_model.output(agent.x, pa.u, pa.delta, None, w)
-            x_next = agent.sim_model.step(agent.x, pa.u, pa.delta, None, w)
-            agent.record(x=agent.x, u=pa.u, delta=pa.delta, y=y,
+            u = jnp.round(pa.u)
+            d = jnp.round(pa.delta) if pa.delta is not None else None
+            y = agent.sim_model.output(agent.x, u, d, None, w)
+            x_next = agent.sim_model.step(agent.x, u, d, None, w)
+            agent.record(x=agent.x, u=u, delta=d, y=y,
                          omega=omega_k[i] if omega_k is not None else None)
             agent.x = x_next
             agent.k += 1
-            total_power += float(pa.u[0]) * self.dewh_params[i].P_h
+            total_power += float(u[0]) * self.dewh_params[i].P_h
         sol.total_power = total_power
-        assert total_power <= self.grid.P_max + 1e-3, (
+        assert total_power <= self.grid.P_max * (1 + 1e-6) + 1e-3, (
             "coupling violated in distributed inputs")
         self.k += 1
         return sol

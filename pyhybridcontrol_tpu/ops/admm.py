@@ -248,3 +248,22 @@ def admm_solve_batch(spec: BoxQP, q, h, lb, ub, iters: int = 100):
     qb = jnp.broadcast_to(q, (B,) + q.shape[-1:]) if q.ndim == 1 else q
     hb = jnp.broadcast_to(h, (B,) + h.shape[-1:]) if h.ndim == 1 else h
     return admm_solve(spec, qb, hb, lb, ub, iters=iters)
+
+
+def admm_solve_mixed(spec: BoxQP, q, h, lb, ub, iters: int = 100,
+                     low_frac: float = 0.8, low_precision: str = "high",
+                     warm=None) -> AdmmResult:
+    """Two-phase precision schedule: the first ``low_frac`` of the
+    iterations run at ``low_precision`` matmuls (TPU 3-pass bf16), the
+    tail at the spec's full precision, warm-chained. Measured ~+20%
+    solves/s at N=20 for ~1e-3-relative objective noise — opt-in for
+    throughput-bound scenario studies; keep full precision for B&B
+    bounds and parity work. Shares all problem arrays (precision is a
+    static field), so no extra memory."""
+    k = int(iters * low_frac)
+    if k <= 0 or k >= iters:
+        return admm_solve(spec, q, h, lb, ub, iters=iters, warm=warm)
+    lo = dataclasses.replace(spec, precision=low_precision)
+    r1 = admm_solve(lo, q, h, lb, ub, iters=k, warm=warm)
+    return admm_solve(spec, q, h, lb, ub, iters=iters - k,
+                      warm=(r1.x, r1.z, r1.y))

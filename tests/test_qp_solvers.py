@@ -159,3 +159,21 @@ def test_bnb_infeasible_problem(miqp):
     res = solve_miqp_bnb(spec, qp, f, h,
                          BnbSpec(capacity=128, wave_size=8, qp_iters=800))
     assert not bool(res.found)
+
+
+def test_admm_mixed_precision_schedule(rng):
+    """Mixed-precision schedule matches the full-precision solve (on
+    CPU both phases are exact fp32 — this pins the warm-chaining)."""
+    from pyhybridcontrol_tpu.ops.admm import admm_solve_mixed
+
+    H, f, G, h, lb, ub = _random_qp(rng)
+    spec = prepare_admm(G, H)
+    fj = jnp.asarray(f, jnp.float32)
+    hj = jnp.asarray(h, jnp.float32)
+    lbj = jnp.asarray(lb, jnp.float32)
+    ubj = jnp.asarray(ub, jnp.float32)
+    full = admm_solve(spec, fj, hj, lbj, ubj, iters=200)
+    mixed = admm_solve_mixed(spec, fj, hj, lbj, ubj, iters=200)
+    np.testing.assert_allclose(float(mixed.obj), float(full.obj),
+                               rtol=1e-3, atol=1e-3)
+    assert float(mixed.r_prim_rel) < 5e-3
