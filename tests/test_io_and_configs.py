@@ -118,3 +118,40 @@ def test_pwa_gating_rejects_leak():
         jnp.asarray(x, jnp.float32), jnp.asarray([0.7, 0.0], jnp.float32),
         jnp.asarray(delta, jnp.float32), jnp.asarray(z, jnp.float32))
     assert float(np.max(np.asarray(r))) > 0.1
+
+
+def test_closed_loop_checkpoint_resume(tmp_path):
+    """SURVEY.md §5 fault tolerance: a closed-loop study interrupted at
+    step k and resumed from its checkpoint matches the uninterrupted
+    run exactly."""
+    import jax.numpy as jnp
+
+    from pyhybridcontrol_tpu.loop import closed_loop, make_mpc_step
+    from pyhybridcontrol_tpu.models.double_integrator import (
+        default_weights, switched_double_integrator)
+    from pyhybridcontrol_tpu.ops.admm import prepare_admm_mpc
+    from pyhybridcontrol_tpu.ops.condense import CondensedMpc
+    from pyhybridcontrol_tpu.solver.bnb import BnbSpec
+
+    model = switched_double_integrator()
+    c = CondensedMpc(model, 6, default_weights())
+    step = make_mpc_step(model, c.device_qp(), prepare_admm_mpc(c),
+                         method="bnb",
+                         bnb_spec=BnbSpec(capacity=64, wave_size=8,
+                                          qp_iters=300))
+    x0 = jnp.asarray([2.0, 0.0])
+    full = closed_loop(model, step, x0, T=8)
+
+    # run half, checkpoint the carried state, "crash", resume
+    half = closed_loop(model, step, x0, T=4)
+    p = str(tmp_path / "study.ck")
+    state = {"x": half.xs[-1], "u_prev": half.vs[-1][:1], "k": jnp.asarray(4)}
+    save_checkpoint(p, state, step=4, metadata={"cfg": "resume-test"})
+    blank = jax.tree_util.tree_map(jnp.zeros_like, state)
+    restored, k0, _ = load_checkpoint(p, blank)
+    rest = closed_loop(model, step, restored["x"], T=4,
+                       u_prev0=restored["u_prev"])
+    np.testing.assert_allclose(np.asarray(rest.xs[1:]),
+                               np.asarray(full.xs[5:]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(rest.objs),
+                               np.asarray(full.objs[4:]), atol=1e-3)
