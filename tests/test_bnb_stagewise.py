@@ -35,7 +35,6 @@ def test_stagewise_bnb_matches_condensed_enumeration():
     _, obj, bits, _ = solve_miqp_enumerate_device(admm, qp, f, h, iters=600)
     np.testing.assert_array_equal(bits_sw, np.asarray(bits))
     # and the first input agrees
-    V = np.asarray(qp.full_v(jnp.zeros(qp.n)))  # layout only
     u0_sw = xi[0, 0]
     # condensed optimum's u0 via its own solve
     from pyhybridcontrol_tpu.solver.enumerate import _enumerate_solve, _all_assignments
