@@ -177,3 +177,26 @@ def test_admm_mixed_precision_schedule(rng):
     np.testing.assert_allclose(float(mixed.obj), float(full.obj),
                                rtol=1e-3, atol=1e-3)
     assert float(mixed.r_prim_rel) < 5e-3
+
+
+def test_infeasibility_certificate(rng):
+    """The dual certificate fires on truly infeasible problems and stays
+    quiet on slow-but-feasible ones (the PWA failure mode)."""
+    n = 8
+    H = np.eye(n)
+    f = np.zeros(n)
+    G = np.vstack([np.eye(n)[:1], -np.eye(n)[:1]])
+    h = np.array([1.0, -2.0])        # x0 ≤ 1 ∧ x0 ≥ 2: infeasible
+    spec = prepare_admm(G, H)
+    res = admm_solve(spec, jnp.zeros(n), jnp.asarray(h, jnp.float32),
+                     jnp.full(n, -10.0), jnp.full(n, 10.0), iters=500)
+    assert bool(res.infeas_cert), "certificate missed a true infeasibility"
+
+    # feasible problem: certificate must NOT fire even at few iterations
+    Hf, ff, Gf, hf, lbf, ubf = _random_qp(rng)
+    spec2 = prepare_admm(Gf, Hf)
+    res2 = admm_solve(spec2, jnp.asarray(ff, jnp.float32),
+                      jnp.asarray(hf, jnp.float32),
+                      jnp.asarray(lbf, jnp.float32),
+                      jnp.asarray(ubf, jnp.float32), iters=30)
+    assert not bool(res2.infeas_cert)
