@@ -114,7 +114,8 @@ class MpcAgent(ControlledAgent):
         self._u_prev = sol.u
         return sol
 
-    def run(self, T: int, omega_traj=None, price_traj=None):
+    def run(self, T: int, omega_traj=None, price_traj=None,
+            Ts: Optional[float] = None):
         """Host-loop simulation for T steps (reference-style)."""
         N = self.controller.N
         for _ in range(T):
@@ -123,7 +124,7 @@ class MpcAgent(ControlledAgent):
             W = (omega_traj[k : k + N] if omega_traj is not None else None)
             Pq = (price_traj[k : k + N] if price_traj is not None else None)
             self.sim_step(w_k, W, Pq)
-        return self.history(getattr(self.controller.weights, "Ts", None))
+        return self.history(Ts)
 
     def run_compiled(self, T: int, omega_traj=None, price_traj=None):
         """Whole-trajectory device loop (loop.closed_loop)."""

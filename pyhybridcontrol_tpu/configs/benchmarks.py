@@ -86,7 +86,7 @@ BENCHMARK_CONFIGS: Dict[str, BenchmarkConfig] = {
         name="scenario_batch",
         description="1024 batched MIQP instances per chip (scenario MPC)",
         N=10, T=1, batch=1024, build=_build_double_integrator,
-        bnb=BnbSpec(capacity=64, wave_size=16, max_waves=24, qp_iters=200),
+        bnb=BnbSpec(capacity=64, wave_size=16, max_waves=24, qp_iters=100),
     ),
     "sharded_bnb": BenchmarkConfig(
         name="sharded_bnb",
