@@ -34,3 +34,24 @@ def test_dewh_dsm_study():
 def test_micro_grid_study():
     out = _run("micro_grid_study.py", "--steps", "3", "--agents", "2")
     assert "agent 0 history" in out
+
+
+def test_serve_loop():
+    """Serving surface: ready banner, ping, solve, graceful bad input."""
+    reqs = "\n".join(['{"cmd": "ping"}', '{"x": [2.0, 0.0]}',
+                      'not json', '{"cmd": "quit"}']) + "\n"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, "-m", "pyhybridcontrol_tpu.serve",
+         "--config", "double_integrator", "--cpu"],
+        input=reqs, capture_output=True, text=True, timeout=300,
+        cwd=REPO, env=env)
+    lines = [l for l in r.stdout.splitlines() if l.strip()]
+    assert r.returncode == 0, r.stderr[-1500:]
+    import json as _json
+
+    recs = [_json.loads(l) for l in lines]
+    assert recs[0]["ready"] and recs[1]["pong"]
+    assert recs[2]["found"] and len(recs[2]["u"]) == 1
+    assert "error" in recs[3]
