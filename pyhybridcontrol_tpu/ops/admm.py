@@ -105,6 +105,7 @@ def prepare_admm(G: np.ndarray, H: np.ndarray, *, rho: float = 1.0,
                  sigma: float = 1e-6, alpha: float = 1.6,
                  q_typical: Optional[np.ndarray] = None,
                  binary_idx=None, rho_eq_scale: float = 10.0,
+                 boost_rows=None, boost_scale: float = 30.0,
                  dtype=jnp.float32, precision: str = "highest") -> BoxQP:
     """Host-side (float64) preparation: Ruiz equilibration + K⁻¹.
 
@@ -125,6 +126,10 @@ def prepare_admm(G: np.ndarray, H: np.ndarray, *, rho: float = 1.0,
     rho_vec = np.full(m + n, float(rho))
     if binary_idx is not None and len(binary_idx):
         rho_vec[m + np.asarray(binary_idx, int)] = rho * rho_eq_scale
+    if boost_rows is not None and len(boost_rows):
+        # near-equality constraint rows (big-M product rows) get a
+        # static stiffness boost — see ops/condense.py z_rows
+        rho_vec[np.asarray(boost_rows, int)] *= boost_scale
     K = Ph + sigma * np.eye(n) + (Ah.T * rho_vec[None, :]) @ Ah
     Kinv = np.linalg.inv(K)
     return BoxQP(
@@ -145,6 +150,7 @@ def prepare_admm_mpc(cmpc: CondensedMpc, **kw) -> BoxQP:
     linear term (f at x0=0) informs the Ruiz cost normalization."""
     kw.setdefault("q_typical", cmpc.f0)
     kw.setdefault("binary_idx", cmpc.binary_idx)
+    kw.setdefault("boost_rows", getattr(cmpc, "z_rows", None))
     return prepare_admm(cmpc.G, cmpc.H, **kw)
 
 

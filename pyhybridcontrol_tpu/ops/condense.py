@@ -309,6 +309,14 @@ class CondensedMpc:
         self.lb, self.ub = lb, ub
         self.T_full = np.eye(N * nv)
         self.binary_mask = np.tile(vb, N)
+        # stage rows carrying z coefficients = the big-M product rows;
+        # they bind as (near-)equalities at EVERY fixed-binary B&B leaf,
+        # so the ADMM layer boosts their rho statically (measured: the
+        # difference between a degenerate PWA leaf converging at 1e-6
+        # and stalling at 0.3)
+        z_stage = np.nonzero(np.abs(m.F3).sum(axis=1) > 0)[0]
+        self.z_rows = np.concatenate(
+            [k * info.ncons + z_stage for k in range(N)]) if len(z_stage)             else np.zeros(0, dtype=int)
         self.pred = StructDict(Phi=Phi, Gv=Gv, Gw=Gw, Gc=Gc,
                                Phi_t=Phi_t, Gv_t=Gv_t, Gw_t=Gw_t, Gc_t=Gc_t)
 

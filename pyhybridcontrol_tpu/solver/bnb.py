@@ -98,6 +98,9 @@ class BnbSpec:
     gap: float = 1e-4            # absolute pruning gap margin
     warm_start: bool = True      # children inherit parent ADMM iterates
     # (x, z, y) through the node pool — fewer iterations to re-converge
+    probe_iters: int = 0         # iterations for dive probes / leaf
+    # evaluation; 0 → same as qp_iters. Degenerate big-M leaves need
+    # several thousand iterations to certify (see docs/PERFORMANCE.md).
 
 
 @jax.tree_util.register_dataclass
@@ -250,7 +253,8 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
         pv = jnp.where(fm, fv, rounded)
         ones = jnp.ones_like(fm)
         lb_p, ub_p = node_bounds(ones, pv)
-        probe = backend.solve(fb, hb, lb_p, ub_p, spec.qp_iters,
+        probe = backend.solve(fb, hb, lb_p, ub_p,
+                              spec.probe_iters or spec.qp_iters,
                               warm=(relax.x, relax.z, relax.y))
         probe_ok = (probe.r_prim_rel < spec.feas_tol) & valid
         probe_obj = jnp.where(probe_ok, probe.obj, BIG)

@@ -1,0 +1,151 @@
+"""Parity sweep: device MIQP engines vs the exact fp64 oracle across
+every model family (BASELINE "control-sequence parity" criterion,
+SURVEY.md §4.3). Writes PARITY_REPORT.json.
+
+Run:  python scripts/parity_sweep.py [--instances 5]
+Exit 0 iff every instance is within tolerance.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _repo not in sys.path:
+    sys.path.insert(0, _repo)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--instances", type=int, default=5)
+    ap.add_argument("--rel-tol", type=float, default=2e-3)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pyhybridcontrol_tpu.models.battery import (
+        BatteryParams, battery_model, battery_price_seq, battery_weights)
+    from pyhybridcontrol_tpu.models.dewh import (
+        DewhParams, dewh_energy_price_seq, dewh_model, dewh_weights)
+    from pyhybridcontrol_tpu.models.double_integrator import (
+        default_weights, switched_double_integrator)
+    from pyhybridcontrol_tpu.models.pwa_examples import (
+        pwa_spring_mld, pwa_weights)
+    from pyhybridcontrol_tpu.ops.admm import prepare_admm_mpc
+    from pyhybridcontrol_tpu.ops.condense import CondensedMpc
+    from pyhybridcontrol_tpu.solver.bnb import BnbSpec, solve_miqp_bnb
+    from pyhybridcontrol_tpu.solver.oracle import (
+        solve_miqp_enumeration_oracle)
+    from pyhybridcontrol_tpu.solver.repair import (
+        prepare_repair, root_repair_incumbent)
+
+    rng = np.random.default_rng(42)
+    spec = BnbSpec(capacity=256, wave_size=32, qp_iters=400,
+                   probe_iters=2000, max_waves=48)
+
+    def x0_di():
+        return rng.normal(size=2) * 1.5
+
+    def x0_pwa():
+        return rng.uniform(-2, 2, size=2)
+
+    def x0_dewh():
+        return np.array([rng.uniform(51, 70), float(rng.integers(0, 2))])
+
+    def x0_batt():
+        return np.array([rng.uniform(0.15, 0.85)])
+
+    dp = DewhParams()
+    bp = BatteryParams()
+    families = {
+        "double_integrator_N8": dict(
+            model=switched_double_integrator(), w=default_weights(), N=8,
+            x0=x0_di),
+        # N=3 → 9 binaries → 512 oracle subproblems (the fp64 oracle is
+        # the cost driver: each reduced QP is a dense ADMM+polish solve)
+        # degenerate relaxations → bounds never prune; give the pool
+        # an exhaustive budget (tree ≤ ~1k nodes at 9 binaries)
+        "pwa_spring_N3": dict(
+            model=pwa_spring_mld(on_off=True), w=pwa_weights(), N=3,
+            x0=x0_pwa, instances=2,
+            spec=BnbSpec(capacity=2048, wave_size=64, qp_iters=400,
+                         probe_iters=4000, max_waves=64)),
+        "dewh_N6": dict(
+            model=dewh_model(dp), w=dewh_weights(), N=6, x0=x0_dewh,
+            price=lambda N: dewh_energy_price_seq(
+                np.full(N, 0.15), dp, nv=dewh_model(dp).info.nv)),
+        "battery_N6": dict(
+            model=battery_model(bp), w=battery_weights(q_soc=2.0), N=6,
+            x0=x0_batt,
+            price=lambda N: battery_price_seq(
+                np.full(N, 0.12), bp, nv=battery_model(bp).info.nv)),
+    }
+
+    report = {}
+    worst = 0.0
+    failures = 0
+    for name, fam in families.items():
+        model, w, N = fam["model"], fam["w"], fam["N"]
+        n_inst = fam.get("instances", args.instances)
+        fspec = fam.get("spec", spec)
+        c = CondensedMpc(model, N, w)
+        qp, admm = c.device_qp(), prepare_admm_mpc(c)
+        rspec = prepare_repair(model, w)
+        price = fam.get("price")
+        rows = []
+        for t in range(n_inst):
+            x0 = fam["x0"]().astype(np.float32)
+            pq = (price(N).astype(np.float32)
+                  if price is not None else None)
+            f, h = qp.assemble(jnp.asarray(x0),
+                               price_seq=None if pq is None
+                               else jnp.asarray(pq))
+            seed = None
+            if rspec is not None:
+                seed = root_repair_incumbent(
+                    admm, qp, rspec, jnp.asarray(x0), f, h,
+                    price_seq=None if pq is None else jnp.asarray(pq),
+                    qp_iters=400)
+            r = solve_miqp_bnb(admm, qp, f, h, fspec,
+                               init_incumbent=seed)
+            fo, ho = c.assemble_np(
+                x0, price_seq=None if pq is None
+                else np.asarray(pq, np.float64))
+            orc = solve_miqp_enumeration_oracle(
+                c.H, fo, c.G, ho, c.lb, c.ub, c.binary_idx)
+            dev_found = bool(r.found)
+            if orc.status == "optimal" and dev_found:
+                rel = abs(float(r.obj) - orc.obj) / max(1.0, abs(orc.obj))
+                ok = rel <= args.rel_tol and float(r.obj) >= orc.obj - 5e-3
+            else:
+                rel = None
+                ok = (orc.status != "optimal") == (not dev_found)
+            worst = max(worst, rel or 0.0)
+            failures += 0 if ok else 1
+            rows.append(dict(x0=[float(v) for v in x0],
+                             device_obj=float(r.obj) if dev_found else None,
+                             oracle_obj=(orc.obj if orc.status == "optimal"
+                                         else None),
+                             oracle_status=orc.status,
+                             rel_delta=rel, ok=bool(ok),
+                             nodes=int(r.nodes_solved)))
+            print(f"{name} [{t}]: dev="
+                  f"{float(r.obj) if dev_found else None} oracle="
+                  f"{orc.obj if orc.status=='optimal' else orc.status} "
+                  f"rel={rel} {'OK' if ok else 'FAIL'}", flush=True)
+        report[name] = rows
+
+    with open(os.path.join(_repo, "PARITY_REPORT.json"), "w") as fp:
+        json.dump(dict(rel_tol=args.rel_tol, worst_rel_delta=worst,
+                       failures=failures, families=report), fp, indent=2)
+    print(f"\nworst rel delta {worst:.2e}; failures {failures}")
+    return 0 if failures == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
