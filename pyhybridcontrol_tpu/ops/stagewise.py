@@ -216,10 +216,10 @@ def _apply_A(sw: StagewiseQP, xi):
     xnext = xi[..., :, sw.nv:]                    # x_{k+1}
     xprev = jnp.concatenate(
         [jnp.zeros_like(xnext[..., :1, :]), xnext[..., :-1, :]], axis=-2)
-    dyn = (xnext - jnp.einsum("ij,...kj->...ki", sw.Bv, v)
-           - jnp.einsum("ij,...kj->...ki", sw.A_dyn, xprev))
-    ineq = (jnp.einsum("ij,...kj->...ki", sw.Fv, v)
-            + jnp.einsum("ij,...kj->...ki", sw.E, xprev))
+    dyn = (xnext - jnp.einsum("ij,...kj->...ki", sw.Bv, v, precision="highest")
+           - jnp.einsum("ij,...kj->...ki", sw.A_dyn, xprev, precision="highest"))
+    ineq = (jnp.einsum("ij,...kj->...ki", sw.Fv, v, precision="highest")
+            + jnp.einsum("ij,...kj->...ki", sw.E, xprev, precision="highest"))
     return jnp.concatenate([dyn, ineq, xi], axis=-1)
 
 
@@ -229,16 +229,16 @@ def _apply_AT(sw: StagewiseQP, w):
     wd = w[..., :, :nx]
     wi = w[..., :, nx:nx + nc]
     wb = w[..., :, nx + nc:]
-    out_v = (-jnp.einsum("ij,...ki->...kj", sw.Bv, wd)
-             + jnp.einsum("ij,...ki->...kj", sw.Fv, wi))
+    out_v = (-jnp.einsum("ij,...ki->...kj", sw.Bv, wd, precision="highest")
+             + jnp.einsum("ij,...ki->...kj", sw.Fv, wi, precision="highest"))
     # x_{k+1} (ξ_k's x part) appears in dyn_k (+I), dyn_{k+1} (−A),
     # ineq_{k+1} (E)
     wd_next = jnp.concatenate(
         [wd[..., 1:, :], jnp.zeros_like(wd[..., :1, :])], axis=-2)
     wi_next = jnp.concatenate(
         [wi[..., 1:, :], jnp.zeros_like(wi[..., :1, :])], axis=-2)
-    out_x = (wd - jnp.einsum("ij,...ki->...kj", sw.A_dyn, wd_next)
-             + jnp.einsum("ij,...ki->...kj", sw.E, wi_next))
+    out_x = (wd - jnp.einsum("ij,...ki->...kj", sw.A_dyn, wd_next, precision="highest")
+             + jnp.einsum("ij,...ki->...kj", sw.E, wi_next, precision="highest"))
     return jnp.concatenate([out_v, out_x], axis=-1) + wb
 
 
@@ -248,7 +248,8 @@ def _solve_K(sw: StagewiseQP, r):
 
     def fwd(carry, inp):
         rk, Lk = inp
-        yk = rk - jnp.einsum("ij,...j->...i", Lk, carry)
+        yk = rk - jnp.einsum("ij,...j->...i", Lk, carry,
+                             precision="highest")
         return yk, yk
 
     y0 = jnp.zeros_like(r_t[0])
@@ -256,8 +257,9 @@ def _solve_K(sw: StagewiseQP, r):
 
     def bwd(carry, inp):
         yk, Uk, Ck = inp
-        xk = jnp.einsum("ij,...j->...i", Uk, yk) - jnp.einsum(
-            "ij,...j->...i", Ck, carry)
+        xk = (jnp.einsum("ij,...j->...i", Uk, yk, precision="highest")
+              - jnp.einsum("ij,...j->...i", Ck, carry,
+                           precision="highest"))
         return xk, xk
 
     x0 = jnp.zeros_like(r_t[0])
@@ -324,7 +326,8 @@ def stagewise_admm_solve(sw: StagewiseQP, q, l, u, iters: int = 200,
     viol = jnp.abs(Ax - jnp.clip(Ax, l, u))
     r_prim = jnp.max(viol, axis=(-2, -1))
     r_rel = jnp.max(viol / jnp.maximum(1.0, jnp.abs(Ax)), axis=(-2, -1))
-    Px = jnp.einsum("kij,...kj->...ki", sw.P_diag, x)
+    Px = jnp.einsum("kij,...kj->...ki", sw.P_diag, x,
+                    precision="highest")
     dual = Px + q + _apply_AT(sw, y)
     r_dual = jnp.max(jnp.abs(dual), axis=(-2, -1))
     obj = (0.5 * jnp.sum(x * Px, axis=(-2, -1))
