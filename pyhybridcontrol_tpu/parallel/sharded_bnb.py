@@ -35,12 +35,15 @@ from pyhybridcontrol_tpu.solver.bnb import (BnbResult, BnbSpec,
 
 def solve_miqp_bnb_sharded(admm: BoxQP, qp: DeviceQP, f, h,
                            spec: BnbSpec, mesh: Mesh,
-                           axis: str = "pool") -> BnbResult:
+                           axis: str = "pool",
+                           init_incumbent=None) -> BnbResult:
     """Solve one MIQP with its B&B pool sharded over ``mesh[axis]``.
 
     ``spec.capacity``/``wave_size`` are per-device. Problem data
-    (admm, qp, f, h) is replicated. Returns a replicated BnbResult whose
-    nodes_solved/waves are the global totals.
+    (admm, qp, f, h) is replicated, as is the optional
+    ``init_incumbent`` (obj, V, ok) heuristic seed (e.g. rollout
+    repair). Returns a replicated BnbResult whose nodes_solved/waves
+    are the global totals.
     """
     ndev = mesh.shape[axis]
 
@@ -65,7 +68,7 @@ def solve_miqp_bnb_sharded(admm: BoxQP, qp: DeviceQP, f, h,
     def global_any_active(alive):
         return jnp.any(jax.lax.all_gather(alive, axis))
 
-    def shard_body(f_, h_):
+    def shard_body(f_, h_, seed):
         dev = jax.lax.axis_index(axis)
         res = _bnb_loop(
             CondensedBackend(admm, qp), f_, h_, spec,
@@ -74,6 +77,7 @@ def solve_miqp_bnb_sharded(admm: BoxQP, qp: DeviceQP, f, h,
             reduce_incumbent=reduce_incumbent,
             global_any_active=global_any_active,
             root_device_pred=(dev == 0),
+            init_incumbent=seed,
         )
         # aggregate counters
         nodes = jax.lax.psum(res.nodes_solved, axis)
@@ -86,12 +90,14 @@ def solve_miqp_bnb_sharded(admm: BoxQP, qp: DeviceQP, f, h,
     if spec.wave_size % ndev != 0:
         raise ValueError("wave_size must be divisible by the pool axis size")
 
+    seed_specs = (None if init_incumbent is None
+                  else tuple(P() for _ in init_incumbent))
     fn = jax.shard_map(
         shard_body, mesh=mesh,
-        in_specs=(P(), P()),
+        in_specs=(P(), P(), seed_specs),
         out_specs=BnbResult(x=P(), obj=P(), found=P(), waves=P(),
                             nodes_solved=P(), overflow=P(),
                             best_open_bound=P()),
         check_vma=False,
     )
-    return fn(f, h)
+    return fn(f, h, init_incumbent)

@@ -84,3 +84,28 @@ def test_scenario_sharded_admm_batch(ctrl):
     sharded = jax.jit(solve)(fs_s, hs_s, lb_s, ub_s)
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(plain),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pool_sharded_with_repair_seed(ctrl):
+    """Sharded B&B accepts the repair incumbent seed (config-5 path for
+    hard MIQPs)."""
+    from pyhybridcontrol_tpu.models.double_integrator import (
+        default_weights as dw)
+    from pyhybridcontrol_tpu.solver.repair import (
+        prepare_repair, root_repair_incumbent)
+
+    model, c, qp, admm = ctrl
+    mesh = make_mesh([("pool", 2)])
+    x0 = np.array([2.0, 0.0], np.float32)
+    f, h = qp.assemble(jnp.asarray(x0))
+    rspec = prepare_repair(model, dw())
+    seed = root_repair_incumbent(admm, qp, rspec, jnp.asarray(x0), f, h,
+                                 qp_iters=400)
+    r = solve_miqp_bnb_sharded(
+        admm, qp, f, h, BnbSpec(capacity=64, wave_size=8, qp_iters=400),
+        mesh, init_incumbent=seed)
+    assert bool(r.found)
+    r0 = solve_miqp_bnb(admm, qp, f, h,
+                        BnbSpec(capacity=256, wave_size=16, qp_iters=400))
+    np.testing.assert_allclose(float(r.obj), float(r0.obj), rtol=1e-3,
+                               atol=1e-3)
