@@ -28,8 +28,13 @@ def save_checkpoint(path: str, state: Any, step: int = 0,
         process_index = jax.process_index()
     if process_index is not None:
         path = f"{path}-proc{process_index:03d}"
-    host_state = jax.tree_util.tree_map(np.asarray, state)
-    blob = serialization.to_bytes(host_state)
+    # flattened-leaves wire format: works for EVERY pytree (dicts,
+    # StructDicts, register_dataclass results like ClosedLoopResult /
+    # BnbState) — flax's state-dict serializer alone rejects custom
+    # dataclass containers it has no handler for
+    leaves = jax.tree_util.tree_leaves(state)
+    blob = serialization.to_bytes(
+        {f"leaf_{i:05d}": np.asarray(l) for i, l in enumerate(leaves)})
     meta = json.dumps({"step": int(step), "meta": metadata or {}}).encode()
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(os.path.abspath(path)))
@@ -46,11 +51,12 @@ def save_checkpoint(path: str, state: Any, step: int = 0,
     return path
 
 
-def load_checkpoint(path: str, target: Any,
+def load_checkpoint(path: str, target: Any = None,
                     process_index: Optional[int] = None
                     ) -> Tuple[Any, int, dict]:
     """Restore (state, step, metadata); ``target`` supplies the pytree
-    structure (e.g. a freshly-initialized state)."""
+    structure (e.g. a freshly-initialized state). With ``target=None``
+    the raw leaf list is returned (inspection mode)."""
     if process_index is None and jax.process_count() > 1:
         process_index = jax.process_index()
     if process_index is not None:
@@ -59,5 +65,15 @@ def load_checkpoint(path: str, target: Any,
         mlen = int.from_bytes(fp.read(8), "little")
         meta = json.loads(fp.read(mlen).decode())
         blob = fp.read()
-    state = serialization.from_bytes(target, blob)
+    raw = serialization.msgpack_restore(blob)
+    leaves = [raw[k] for k in sorted(raw)]
+    if target is None:
+        state = leaves
+    else:
+        t_leaves, treedef = jax.tree_util.tree_flatten(target)
+        if len(t_leaves) != len(leaves):
+            raise ValueError(
+                f"checkpoint has {len(leaves)} leaves, target expects "
+                f"{len(t_leaves)} — structure mismatch")
+        state = jax.tree_util.tree_unflatten(treedef, leaves)
     return state, meta["step"], meta["meta"]

@@ -1,0 +1,95 @@
+"""End-to-end smoke tests for the two process-level surfaces
+(SURVEY.md §5 config/CLI row): the `run` CLI and the `serve` loop.
+Both are driven as real subprocesses — argument parsing, config
+resolution, JSON output contract, and artifact writing included."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _env():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = _repo + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+def test_run_cli_closed_loop(tmp_path):
+    log = tmp_path / "run.jsonl"
+    ckpt = tmp_path / "run.ckpt"
+    out = subprocess.run(
+        [sys.executable, "-m", "pyhybridcontrol_tpu.run",
+         "--config", "double_integrator", "--steps", "3", "--batch", "1",
+         "--solver", "enumerate", "--cpu",
+         "--log", str(log), "--checkpoint", str(ckpt)],
+        capture_output=True, text=True, env=_env(), timeout=570)
+    assert out.returncode == 0, out.stderr[-2000:]
+    metrics = json.loads(out.stdout.strip().splitlines()[-1])
+    assert metrics["config"] == "double_integrator"
+    assert metrics["steps"] == 3
+    assert metrics["found_frac"] == 1.0
+    assert np.isfinite(metrics["total_cost"])
+    # artifacts written and loadable
+    assert log.exists() and log.stat().st_size > 0
+    from pyhybridcontrol_tpu.io.checkpoint import load_checkpoint
+
+    leaves, step, meta = load_checkpoint(str(ckpt))
+    assert step == 3 and meta["config"] == "double_integrator"
+    assert len(leaves) > 0 and all(
+        np.all(np.isfinite(np.asarray(l, float))) for l in leaves)
+
+
+def test_run_cli_unknown_config_errors():
+    out = subprocess.run(
+        [sys.executable, "-m", "pyhybridcontrol_tpu.run",
+         "--config", "definitely_not_a_config", "--cpu"],
+        capture_output=True, text=True, env=_env(), timeout=120)
+    assert out.returncode != 0
+    assert "definitely_not_a_config" in (out.stderr + out.stdout)
+
+
+def test_serve_loop_requests():
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "pyhybridcontrol_tpu.serve",
+         "--config", "double_integrator", "--solver", "enumerate", "--cpu"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True, env=_env())
+    try:
+        ready = json.loads(proc.stdout.readline())
+        assert ready["ready"] and ready["nx"] == 2
+
+        proc.stdin.write('{"cmd": "ping"}\n')
+        proc.stdin.flush()
+        assert json.loads(proc.stdout.readline())["pong"]
+
+        proc.stdin.write(json.dumps({"x": [1.0, -0.5]}) + "\n")
+        proc.stdin.flush()
+        resp = json.loads(proc.stdout.readline())
+        assert resp["found"] and len(resp["u"]) == 1
+        assert np.isfinite(resp["obj"]) and resp["ms"] > 0
+
+        # malformed request must not kill the server
+        proc.stdin.write("this is not json\n")
+        proc.stdin.flush()
+        assert "error" in json.loads(proc.stdout.readline())
+        # wrong state dimension: error response, still serving
+        proc.stdin.write(json.dumps({"x": [1.0, 2.0, 3.0]}) + "\n")
+        proc.stdin.flush()
+        assert "error" in json.loads(proc.stdout.readline())
+        proc.stdin.write(json.dumps({"x": [0.0, 0.0]}) + "\n")
+        proc.stdin.flush()
+        assert json.loads(proc.stdout.readline())["found"]
+
+        proc.stdin.write('{"cmd": "quit"}\n')
+        proc.stdin.flush()
+        assert proc.wait(timeout=60) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
