@@ -50,6 +50,7 @@ class MpcController:
         self._cmpc = None
         self._qp = None
         self._admm = None
+        self._fb_batch_cache = {}  # (version, arg signature) → jitted fn
 
     # -- configuration (each bumps the version → lazy rebuild) -----------
     def set_std_obj_weights(self, **kw) -> "MpcController":
@@ -214,6 +215,44 @@ class MpcController:
             u=v0[info.u_slice], delta=v0[info.delta_slice],
             z=v0[info.z_slice], v_seq=v_seq, obj=obj, found=found,
             nodes=nodes)
+
+    def feedback_batch(self, x0s, omega_forecasts=None, price_seq=None,
+                       u_prevs=None, mesh=None) -> StructDict:
+        """Solve a batch of independent control steps as ONE device
+        program (jit(vmap(feedback)) — the BASELINE config-4 workload
+        through the controller API instead of the low-level loop layer).
+
+        ``x0s`` (B, nx); ``omega_forecasts``/``u_prevs`` optionally carry
+        the same leading batch dim; ``price_seq`` is shared. With
+        ``mesh`` the batch is placed sharded over its ``scen`` axis, so
+        the same call spans a multi-chip slice unchanged. The compiled
+        program is cached per (build version, argument signature);
+        re-calls with new data at the same shapes are compile-free.
+        """
+        self.build()
+        import jax
+
+        x0s = jnp.asarray(x0s, jnp.float32)
+        W = (jnp.asarray(omega_forecasts, jnp.float32)
+             if omega_forecasts is not None else None)
+        Pq = (jnp.asarray(price_seq, jnp.float32)
+              if price_seq is not None else None)
+        up = (jnp.asarray(u_prevs, jnp.float32)
+              if u_prevs is not None else None)
+        key = (self._version, self.solver, W is not None, Pq is not None,
+               up is not None)
+        fn = self._fb_batch_cache.get(key)
+        if fn is None:
+            fn = jax.jit(jax.vmap(
+                lambda x, W_, Pq_, up_: self.feedback(x, W_, Pq_, up_),
+                in_axes=(0, 0 if W is not None else None, None,
+                         0 if up is not None else None)))
+            self._fb_batch_cache[key] = fn
+        if mesh is not None:
+            from pyhybridcontrol_tpu.parallel.mesh import scenario_sharding
+
+            x0s = jax.device_put(x0s, scenario_sharding(mesh))
+        return fn(x0s, W, Pq, up)
 
     def _feedback_stagewise(self, x0, omega_forecast, price_seq):
         from pyhybridcontrol_tpu.solver.bnb_stagewise import (

@@ -107,3 +107,49 @@ def test_stagewise_solver_option():
     ctrl2.set_move_blocking([k // 2 for k in range(10)])
     with pytest.raises(ValueError):
         ctrl2.build()
+
+
+def test_feedback_batch_matches_single():
+    model = switched_double_integrator()
+    ctrl = MpcController(model, 6, default_weights(),
+                         bnb_spec=__import__(
+                             "pyhybridcontrol_tpu.solver.bnb",
+                             fromlist=["BnbSpec"]).BnbSpec(
+                             capacity=64, wave_size=8, qp_iters=200,
+                             max_waves=24))
+    rng = np.random.default_rng(11)
+    x0s = jnp.asarray(rng.normal(size=(8, 2)).astype(np.float32))
+    batch = ctrl.feedback_batch(x0s)
+    assert batch.u.shape == (8, 1) and bool(jnp.all(batch.found))
+    for i in range(3):
+        single = ctrl.feedback(x0s[i])
+        np.testing.assert_allclose(np.asarray(batch.obj[i]),
+                                   np.asarray(single.obj),
+                                   rtol=1e-3, atol=1e-3)
+    # second call at the same shapes hits the compiled-program cache
+    assert len(ctrl._fb_batch_cache) == 1
+    again = ctrl.feedback_batch(x0s + 0.01)
+    assert len(ctrl._fb_batch_cache) == 1
+    assert bool(jnp.all(again.found))
+
+
+def test_feedback_batch_sharded_mesh():
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from pyhybridcontrol_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    model = switched_double_integrator()
+    ctrl = MpcController(model, 6, default_weights(), solver="enumerate",
+                         qp_iters=200)
+    rng = np.random.default_rng(12)
+    x0s = jnp.asarray(rng.normal(size=(16, 2)).astype(np.float32))
+    plain = ctrl.feedback_batch(x0s)
+    mesh = make_mesh([("scen", 8)])
+    sharded = ctrl.feedback_batch(x0s, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(sharded.obj),
+                               np.asarray(plain.obj), rtol=1e-3, atol=1e-3)
+    devs = {s.device for s in sharded.u.addressable_shards}
+    assert len(devs) == 8
