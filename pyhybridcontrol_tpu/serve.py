@@ -10,6 +10,10 @@ measured in bench: ~1 ms at N=10 after warmup).
 
 Request:  {"x": [..nx..], "omega": [[..]] (N,nω) opt, "price": [[..]] opt}
 Response: {"u": [..], "delta": [..], "obj": f, "found": b, "ms": f}
+A 2-D "x" ([[..nx..] × B]) solves the whole batch as ONE device
+program (``MpcController.feedback_batch``) and returns list-valued
+"u"/"delta"/"obj"/"found" — the aggregation path for many plants
+behind one controller process.
 Send {"cmd": "ping"} for a health check, {"cmd": "quit"} to stop.
 """
 
@@ -76,6 +80,19 @@ def main(argv=None):
             up = (np.asarray(req["u_prev"], np.float32)
                   if req.get("u_prev") is not None else None)
             t0 = time.perf_counter()
+            if x.ndim == 2:          # batched request: one device program
+                sol = ctrl.feedback_batch(x, omega_forecasts=W,
+                                          price_seq=Pq, u_prevs=up)
+                ms = 1e3 * (time.perf_counter() - t0)
+                print(json.dumps({
+                    "u": np.asarray(sol.u).tolist(),
+                    "delta": np.asarray(sol.delta).tolist(),
+                    "obj": np.asarray(sol.obj).tolist(),
+                    "found": np.asarray(sol.found).tolist(),
+                    "batch": int(x.shape[0]),
+                    "ms": round(ms, 3),
+                }), flush=True)
+                continue
             sol = ctrl.feedback(x, omega_forecast=W, price_seq=Pq,
                                 u_prev=up)
             ms = 1e3 * (time.perf_counter() - t0)

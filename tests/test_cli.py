@@ -74,6 +74,18 @@ def test_serve_loop_requests():
         assert resp["found"] and len(resp["u"]) == 1
         assert np.isfinite(resp["obj"]) and resp["ms"] > 0
 
+        # batched request: 2-D x → one device program, list-valued reply
+        proc.stdin.write(json.dumps(
+            {"x": [[1.0, -0.5], [0.2, 0.7], [-1.0, 0.0]]}) + "\n")
+        proc.stdin.flush()
+        bresp = json.loads(proc.stdout.readline())
+        assert bresp["batch"] == 3
+        assert len(bresp["u"]) == 3 and len(bresp["obj"]) == 3
+        assert all(bresp["found"])
+        # single u of the same state must agree with the batched one
+        assert abs(bresp["obj"][0] - resp["obj"]) < 1e-3 * (
+            1 + abs(resp["obj"]))
+
         # malformed request must not kill the server
         proc.stdin.write("this is not json\n")
         proc.stdin.flush()
