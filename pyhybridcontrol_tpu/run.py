@@ -1,10 +1,16 @@
 """CLI runner:  python -m pyhybridcontrol_tpu.run --config <name>
 [--steps T] [--batch B] [--log out.jsonl] [--checkpoint ckpt.bin]
-[--solver bnb|enumerate] [--cpu]
+[--checkpoint-every K] [--resume] [--solver bnb|enumerate] [--cpu]
 
 Runs one BASELINE benchmark config end-to-end (closed loop or batched
 solve), prints per-run metrics, optionally writes structured logs and a
 final checkpoint (SURVEY.md §5 config/flag system).
+
+Long studies: ``--checkpoint ckpt --checkpoint-every K`` snapshots the
+loop state (x_k, u_prev, step) every K control steps; re-running with
+``--resume`` continues from the snapshot — the SURVEY.md §5
+checkpoint/resume story at the CLI surface (recovery granularity = K
+steps; each chunk is one device program).
 """
 
 from __future__ import annotations
@@ -23,6 +29,11 @@ def main(argv=None):
                     choices=["bnb", "enumerate"])
     ap.add_argument("--log", default=None)
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--checkpoint-every", type=int, default=0,
+                    help="snapshot loop state every K steps (needs "
+                         "--checkpoint; enables --resume)")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the --checkpoint snapshot")
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU backend (8 virtual devices)")
     args = ap.parse_args(argv)
@@ -93,6 +104,55 @@ def main(argv=None):
             "miqp_solves_per_s": round(n_solves / wall, 1),
             "found_frac": float(np.mean(np.asarray(res.found))),
         }))
+    elif args.checkpoint_every and args.checkpoint:
+        import os as _os
+
+        from pyhybridcontrol_tpu.io.checkpoint import (
+            load_checkpoint, save_checkpoint)
+        from pyhybridcontrol_tpu.loop.closed_loop import ClosedLoopResult
+
+        info = model.info
+        k0, u_prev = 0, None
+        if args.resume and _os.path.exists(args.checkpoint):
+            target = {"u_prev": jnp.zeros(info.nu, jnp.float32),
+                      "x": jnp.zeros(info.nx, jnp.float32)}
+            state, k0, _meta = load_checkpoint(args.checkpoint, target)
+            x0 = jnp.asarray(state["x"])
+            u_prev = jnp.asarray(state["u_prev"])
+        if k0 >= T:
+            print(json.dumps({"config": cfg.name, "steps": 0,
+                              "resumed_from": k0,
+                              "note": "study already complete"}))
+            return
+        chunks = []
+        k = k0
+        while k < T:
+            kk = min(args.checkpoint_every, T - k)
+            r = closed_loop(model, step, x0, kk, u_prev0=u_prev)
+            r.objs.block_until_ready()
+            chunks.append(r)
+            x0 = r.xs[-1]
+            u_prev = r.vs[-1][info.u_slice]
+            k += kk
+            save_checkpoint(args.checkpoint,
+                            {"u_prev": u_prev, "x": x0}, step=k,
+                            metadata={"config": cfg.name, "T": T})
+        res = ClosedLoopResult(
+            xs=jnp.concatenate([chunks[0].xs]
+                               + [r.xs[1:] for r in chunks[1:]]),
+            vs=jnp.concatenate([r.vs for r in chunks]),
+            ys=jnp.concatenate([r.ys for r in chunks]),
+            objs=jnp.concatenate([r.objs for r in chunks]),
+            found=jnp.concatenate([r.found for r in chunks]),
+            nodes=jnp.concatenate([r.nodes for r in chunks]))
+        wall = time.perf_counter() - t0
+        print(json.dumps({
+            "config": cfg.name, "steps": T - k0, "resumed_from": k0,
+            "wall_s": round(wall, 3),
+            "found_frac": float(np.mean(np.asarray(res.found))),
+            "total_cost": float(np.sum(np.asarray(res.objs))),
+            "mean_nodes": float(np.mean(np.asarray(res.nodes))),
+        }))
     else:
         res = closed_loop(model, step, x0, T)
         res.objs.block_until_ready()
@@ -110,7 +170,9 @@ def main(argv=None):
         if B == 1:
             log.log_closed_loop(res)
         log.close()
-    if args.checkpoint:
+    if args.checkpoint and not args.checkpoint_every:
+        # (in --checkpoint-every mode the file holds the RESUME state
+        # snapshot, which must not be overwritten by the result pytree)
         from pyhybridcontrol_tpu.io.checkpoint import save_checkpoint
 
         save_checkpoint(args.checkpoint, res, step=T,

@@ -105,3 +105,44 @@ def test_serve_loop_requests():
         if proc.poll() is None:
             proc.kill()
             proc.wait()
+
+
+def test_run_cli_chunked_checkpoint_and_resume(tmp_path):
+    ckpt = tmp_path / "study.ckpt"
+    base = [sys.executable, "-m", "pyhybridcontrol_tpu.run",
+            "--config", "double_integrator", "--batch", "1",
+            "--solver", "enumerate", "--cpu"]
+    # reference: plain 6-step study
+    plain = subprocess.run(base + ["--steps", "6"],
+                           capture_output=True, text=True, env=_env(),
+                           timeout=570)
+    assert plain.returncode == 0, plain.stderr[-2000:]
+    ref = json.loads(plain.stdout.strip().splitlines()[-1])
+
+    # chunked: same study in 3 chunks of 2, snapshotting between chunks
+    chunked = subprocess.run(
+        base + ["--steps", "6", "--checkpoint", str(ckpt),
+                "--checkpoint-every", "2"],
+        capture_output=True, text=True, env=_env(), timeout=570)
+    assert chunked.returncode == 0, chunked.stderr[-2000:]
+    got = json.loads(chunked.stdout.strip().splitlines()[-1])
+    assert got["resumed_from"] == 0 and got["steps"] == 6
+    np.testing.assert_allclose(got["total_cost"], ref["total_cost"],
+                               rtol=1e-4)
+
+    # resume: extend the SAME study to 8 steps → only 2 more run
+    resumed = subprocess.run(
+        base + ["--steps", "8", "--checkpoint", str(ckpt),
+                "--checkpoint-every", "2", "--resume"],
+        capture_output=True, text=True, env=_env(), timeout=570)
+    assert resumed.returncode == 0, resumed.stderr[-2000:]
+    got2 = json.loads(resumed.stdout.strip().splitlines()[-1])
+    assert got2["resumed_from"] == 6 and got2["steps"] == 2
+
+    # resuming a finished study is a no-op, not a crash
+    again = subprocess.run(
+        base + ["--steps", "8", "--checkpoint", str(ckpt),
+                "--checkpoint-every", "2", "--resume"],
+        capture_output=True, text=True, env=_env(), timeout=570)
+    assert again.returncode == 0
+    assert json.loads(again.stdout.strip().splitlines()[-1])["steps"] == 0
