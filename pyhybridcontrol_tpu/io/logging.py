@@ -53,6 +53,13 @@ class StructuredLog:
 
         return pd.DataFrame(self.records)
 
+    def to_parquet(self, path: str) -> str:
+        """Columnar export for large scenario studies (needs pyarrow;
+        the jsonl stream is the always-available fallback). List-valued
+        columns (x, v) are kept as arrow lists."""
+        self.to_pandas().to_parquet(path, index=False)
+        return path
+
     def close(self) -> None:
         if self._fp:
             self._fp.close()

@@ -49,6 +49,13 @@ def test_structured_log_jsonl(tmp_path):
     assert lines[0]["x"] == [1.0, 2.0]
     df = log.to_pandas()
     assert len(df) == 2
+    pq = str(tmp_path / "log.parquet")
+    log.to_parquet(pq)
+    import pandas as pd
+
+    back = pd.read_parquet(pq)
+    assert len(back) == 2 and back["cost"].tolist() == [1.5, 2.5]
+    assert list(back["x"][0]) == [1.0, 2.0]
 
 
 def test_configs_complete():
