@@ -153,3 +153,16 @@ def test_feedback_batch_sharded_mesh():
                                np.asarray(plain.obj), rtol=1e-3, atol=1e-3)
     devs = {s.device for s in sharded.u.addressable_shards}
     assert len(devs) == 8
+
+
+def test_feedback_batch_stagewise_solver():
+    ctrl = MpcController(switched_double_integrator(), 12,
+                         default_weights(), solver="stagewise")
+    rng = np.random.default_rng(7)
+    x0s = jnp.asarray(rng.normal(size=(4, 2)).astype(np.float32))
+    batch = ctrl.feedback_batch(x0s)
+    assert batch.u.shape == (4, 1) and bool(jnp.all(batch.found))
+    single = ctrl.feedback(x0s[0])
+    np.testing.assert_allclose(np.asarray(batch.obj[0]),
+                               np.asarray(single.obj), rtol=1e-4,
+                               atol=1e-5)
