@@ -84,6 +84,21 @@ def main():
             x0=x0_batt,
             price=lambda N: battery_price_seq(
                 np.full(N, 0.12), bp, nv=battery_model(bp).info.nv)),
+        # transform paths: the condensation transforms reshape the QP
+        # (blocked u frame / slack-extended frame) — MIQP parity must
+        # hold THROUGH them, not just for plain stage problems. Repair
+        # seeding is full-v-layout-only, so it is off here (DI probe
+        # rounding finds incumbents without it).
+        "di_moveblock_N8": dict(
+            model=switched_double_integrator(), w=default_weights(), N=8,
+            x0=x0_di, repair=False,
+            transform=lambda c: c.with_move_blocking(
+                [0, 0, 1, 1, 2, 2, 3, 3])),
+        "di_softbox_N8": dict(
+            model=switched_double_integrator(), w=default_weights(), N=8,
+            x0=lambda: rng.normal(size=2) * 2.5, repair=False,
+            transform=lambda c: c.with_soft_constraints(
+                list(range(10)), lin_pen=50.0, quad_pen=5.0)),
     }
 
     report = {}
@@ -94,8 +109,10 @@ def main():
         n_inst = fam.get("instances", args.instances)
         fspec = fam.get("spec", spec)
         c = CondensedMpc(model, N, w)
+        if fam.get("transform") is not None:
+            c = fam["transform"](c)
         qp, admm = c.device_qp(), prepare_admm_mpc(c)
-        rspec = prepare_repair(model, w)
+        rspec = prepare_repair(model, w) if fam.get("repair", True) else None
         price = fam.get("price")
         rows = []
         for t in range(n_inst):
