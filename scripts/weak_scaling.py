@@ -54,14 +54,25 @@ def main():
     from pyhybridcontrol_tpu.parallel import make_mesh, solve_miqp_bnb_sharded
     from pyhybridcontrol_tpu.solver.bnb import BnbSpec
 
+    from pyhybridcontrol_tpu.solver.repair import (
+        prepare_repair, root_repair_incumbent)
+
     ndev_avail = len(jax.devices())
     # PWA model: weak relaxations → genuinely deep search trees, so the
     # pool actually fills and node throughput is the binding quantity
     model = pwa_spring_mld(on_off=True)
-    c = CondensedMpc(model, 10, pwa_weights())
+    w = pwa_weights()
+    c = CondensedMpc(model, 10, w)
     qp, admm = c.device_qp(), prepare_admm_mpc(c)
     x0 = np.array([1.5, 0.0], np.float32)
     f, h = qp.assemble(jnp.asarray(x0))
+    # repair-seed the incumbent (coupled PWA binaries defeat probe
+    # rounding — without a seed the wave-capped run finds nothing and
+    # pruning never engages, which is the unrealistic regime)
+    rspec = prepare_repair(model, w)
+    seed = (root_repair_incumbent(admm, qp, rspec, jnp.asarray(x0), f, h,
+                                  qp_iters=args.qp_iters)
+            if rspec is not None else None)
 
     results = {}
     base_rate = None
@@ -71,13 +82,15 @@ def main():
         # weak scaling: constant per-device capacity & wave size
         spec = BnbSpec(capacity=256, wave_size=16 * P, max_waves=30,
                        qp_iters=args.qp_iters, warm_start=True)
-        r = solve_miqp_bnb_sharded(admm, qp, f, h, spec, mesh)
+        r = solve_miqp_bnb_sharded(admm, qp, f, h, spec, mesh,
+                                   init_incumbent=seed)
         r.obj.block_until_ready()
         t0 = time.perf_counter()
         reps = 3
         nodes = 0
         for _ in range(reps):
-            r = solve_miqp_bnb_sharded(admm, qp, f, h, spec, mesh)
+            r = solve_miqp_bnb_sharded(admm, qp, f, h, spec, mesh,
+                                       init_incumbent=seed)
             r.obj.block_until_ready()
             nodes += int(r.nodes_solved)
         dt = (time.perf_counter() - t0) / reps
