@@ -42,6 +42,7 @@ class MpcController:
         self.qp_iters = qp_iters
         self.rho = rho
         self._soft = None          # (rows, lin_pen, quad_pen)
+        self._tree = None          # ScenarioTree (stochastic MPC)
         self._blocking = None      # groups
         self._terminal = None      # (E_N, f_N)
         self._extra = None         # (A_v, b, B_x, B_w)
@@ -91,6 +92,17 @@ class MpcController:
         self._version += 1
         return self
 
+    def set_scenario_tree(self, tree) -> "MpcController":
+        """Stochastic MPC over an ``ops.scenario_tree.ScenarioTree``:
+        the joint problem couples S probability-weighted scenario copies
+        with non-anticipativity rows; ``feedback`` then returns the
+        (shared) first-stage input and auto-supplies the tree's own
+        disturbance paths as the forecast. ``v_seq`` in the result is
+        the stacked (S·N, nv) scenario plan."""
+        self._tree = tree
+        self._version += 1
+        return self
+
     # -- build -------------------------------------------------------------
     def build(self) -> "MpcController":
         """Condense + prepare solver data (idempotent per version)."""
@@ -110,11 +122,23 @@ class MpcController:
             self._cmpc = None
             self._built_version = self._version
             return self
+        if self._tree is not None and (
+                self._soft is not None or self._blocking is not None
+                or self._extra is not None or self._terminal is not None):
+            raise ValueError(
+                "scenario-tree MPC composes with plain stage problems; "
+                "apply soft/blocking/extra/terminal transforms to the "
+                "joint problem via ops.scenario_tree directly")
         term = dict()
         if self._terminal is not None:
             term = dict(terminal_E=self._terminal[0],
                         terminal_f=self._terminal[1])
         c = CondensedMpc(self.model, self.N, self.weights, **term)
+        if self._tree is not None:
+            from pyhybridcontrol_tpu.ops.scenario_tree import (
+                build_scenario_tree_qp)
+
+            c = build_scenario_tree_qp(c, self._tree)
         if self._extra is not None:
             A_v, b, B_x, B_w = self._extra
             c = c.with_extra_constraints(A_v, b, B_x, B_w)
@@ -129,7 +153,8 @@ class MpcController:
         # rollout-repair incumbent heuristic: valid only when the
         # decision frame is the full per-step v (optionally + slacks)
         self._repair = None
-        if self.solver == "bnb" and self._blocking is None:
+        if (self.solver == "bnb" and self._blocking is None
+                and self._tree is None):
             from pyhybridcontrol_tpu.solver.repair import prepare_repair
 
             rkw = {}
@@ -179,8 +204,18 @@ class MpcController:
         if self.solver == "stagewise":
             return self._feedback_stagewise(x0, omega_forecast, price_seq)
         qp, admm = self._qp, self._admm
+        if omega_forecast is None and self._tree is not None:
+            # the tree's own disturbance paths, stacked scenario-major
+            t = self._tree
+            omega_forecast = np.asarray(t.omega_paths, np.float32).reshape(
+                t.omega_paths.shape[0] * t.omega_paths.shape[1], -1)
         W = (jnp.asarray(omega_forecast, jnp.float32)
              if omega_forecast is not None else None)
+        if (self._tree is not None and price_seq is not None
+                and len(price_seq) == self.N):
+            from pyhybridcontrol_tpu.ops.scenario_tree import tree_price_seq
+
+            price_seq = tree_price_seq(self._tree, np.asarray(price_seq))
         Pq = (jnp.asarray(price_seq, jnp.float32)
               if price_seq is not None else None)
         up = (jnp.asarray(u_prev, jnp.float32)

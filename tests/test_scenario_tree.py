@@ -106,3 +106,43 @@ def test_tree_price_seq_weighting():
     assert ps.shape == (6, 4)
     np.testing.assert_allclose(ps[:3], 0.7)
     np.testing.assert_allclose(ps[3:], 0.3)
+
+
+def test_controller_scenario_tree_feedback():
+    """set_scenario_tree: controller-level stochastic MPC must match the
+    ops-level joint solve (same tree, same spec)."""
+    from pyhybridcontrol_tpu.control.mpc import MpcController
+
+    model = _omega_model()
+    N, S = 4, 2
+    omega = np.zeros((S, N, 1))
+    omega[0, 2:] = 0.8
+    omega[1, 2:] = -0.8
+    tree = ScenarioTree.from_branching(omega, branch_steps=(2,))
+    spec = BnbSpec(capacity=512, wave_size=32, qp_iters=500, max_waves=48)
+
+    ctrl = MpcController(model, N, default_weights(), bnb_spec=spec)
+    ctrl.set_scenario_tree(tree)
+    sol = ctrl.feedback(jnp.asarray(np.array([1.0, 0.0], np.float32)))
+    assert bool(sol.found)
+    assert sol.v_seq.shape == (S * N, model.info.nv)
+
+    # ops-level reference (the pre-existing flow)
+    c = CondensedMpc(model, N, default_weights())
+    joint = build_scenario_tree_qp(c, tree)
+    qp, admm = joint.device_qp(), prepare_admm_mpc(joint)
+    W = jnp.asarray(omega.reshape(S * N, 1), jnp.float32)
+    f, h = qp.assemble(jnp.asarray(np.array([1.0, 0.0], np.float32)), W)
+    ref = solve_miqp_bnb(admm, qp, f, h, spec)
+    np.testing.assert_allclose(float(sol.obj), float(ref.obj),
+                               rtol=1e-3, atol=1e-3)
+    # first-stage input is the non-anticipative shared decision
+    V = np.asarray(sol.v_seq).reshape(S, N, model.info.nv)
+    np.testing.assert_allclose(V[0, :2], V[1, :2], atol=2e-2)
+
+    # transforms on top of a tree are rejected with a clear error
+    ctrl2 = MpcController(model, N, default_weights())
+    ctrl2.set_scenario_tree(tree)
+    ctrl2.set_soft_constraints([0])
+    with pytest.raises(ValueError):
+        ctrl2.build()
