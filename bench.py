@@ -203,8 +203,12 @@ def main():
         details["config5_sharded_bnb"] = dict(
             note="single-chip environment: pool-sharded B&B + incumbent "
                  "all-reduce validated on 8-device virtual CPU mesh "
-                 "(tests/test_parallel.py); real multi-chip weak scaling "
-                 "deferred to a pod-equipped round")
+                 "(tests/test_parallel.py; scripts/config5_pool4096.py "
+                 "runs the 4096-slot 8-device pool vs an equal-capacity "
+                 "single device — identical incumbent, rel delta 0.0; "
+                 "scripts/weak_scaling.py measures nodes/s vs pool "
+                 "size); real multi-chip weak scaling deferred to a "
+                 "pod-equipped round")
 
         # ---- parity: enumeration vs fp64 oracle (N=8) ------------------
         if not have_budget("parity"):
