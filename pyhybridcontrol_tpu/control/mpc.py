@@ -112,11 +112,12 @@ class MpcController:
             # long-horizon path: O(N) block-tridiagonal frame. Transforms
             # that reshape the decision are condensed-frame-only.
             if (self._soft is not None or self._blocking is not None
-                    or self._extra is not None or self._terminal is not None):
+                    or self._extra is not None or self._terminal is not None
+                    or self._tree is not None):
                 raise ValueError(
                     "solver='stagewise' supports plain stage problems; "
                     "use the condensed solvers for soft/blocking/extra/"
-                    "terminal transforms")
+                    "terminal transforms and scenario trees")
             self._sw = prepare_stagewise(self.model, self.N, self.weights,
                                          rho=self.rho)
             self._cmpc = None
