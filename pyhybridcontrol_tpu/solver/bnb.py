@@ -102,6 +102,16 @@ class BnbSpec:
     # evaluation; 0 → same as qp_iters. Degenerate big-M leaves need
     # several thousand iterations to certify (see docs/PERFORMANCE.md).
 
+    def __post_init__(self):
+        if self.wave_size > self.capacity:
+            # would otherwise surface as a cryptic lax.top_k shape error
+            # deep inside the jitted wave loop
+            raise ValueError(
+                f"wave_size ({self.wave_size}) cannot exceed pool "
+                f"capacity ({self.capacity})")
+        if self.capacity < 2 or self.wave_size < 1:
+            raise ValueError("need capacity >= 2 and wave_size >= 1")
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass

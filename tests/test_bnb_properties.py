@@ -92,3 +92,13 @@ def test_vmapped_multi_instance(prob):
     solo = solve_miqp_bnb(admm, qp, fs[2], hs[2], spec)
     np.testing.assert_allclose(float(rb.obj[2]), float(solo.obj),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_spec_validation():
+    import pytest
+
+    with pytest.raises(ValueError):
+        BnbSpec(capacity=8, wave_size=16)
+    with pytest.raises(ValueError):
+        BnbSpec(capacity=1, wave_size=1)
+    BnbSpec(capacity=16, wave_size=16)   # boundary is fine
