@@ -202,6 +202,18 @@ class MpcController:
         """
         self.build()
         x0 = jnp.asarray(x0, jnp.float32)
+        info = self.model.info
+        if omega_forecast is not None and info.nomega == 0:
+            raise ValueError(
+                "omega_forecast given but the model has no disturbance "
+                "channel (nomega=0)")
+        if price_seq is not None:
+            S = (self._tree.omega_paths.shape[0]
+                 if self._tree is not None else 1)
+            if np.shape(price_seq)[0] not in (self.N, S * self.N):
+                raise ValueError(
+                    f"price_seq must have N={self.N} rows (per control "
+                    f"step), got {np.shape(price_seq)}")
         if self.solver == "stagewise":
             return self._feedback_stagewise(x0, omega_forecast, price_seq)
         qp, admm = self._qp, self._admm
