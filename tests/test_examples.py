@@ -55,3 +55,10 @@ def test_serve_loop():
     assert recs[0]["ready"] and recs[1]["pong"]
     assert recs[2]["found"] and len(recs[2]["u"]) == 1
     assert "error" in recs[3]
+
+
+def test_scenario_tree_study():
+    out = _run("scenario_tree_study.py", "--scenarios", "2",
+               "--horizon", "4")
+    assert "study ok: True" in out
+    assert "hedging value" in out
