@@ -166,3 +166,14 @@ def test_feedback_batch_stagewise_solver():
     np.testing.assert_allclose(np.asarray(batch.obj[0]),
                                np.asarray(single.obj), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_feedback_input_validation():
+    ctrl = MpcController(switched_double_integrator(), 6,
+                         default_weights(), solver="enumerate",
+                         qp_iters=50)
+    x0 = jnp.asarray(np.array([1.0, 0.0], np.float32))
+    with pytest.raises(ValueError, match="nomega=0"):
+        ctrl.feedback(x0, omega_forecast=np.zeros((6, 1), np.float32))
+    with pytest.raises(ValueError, match="price_seq"):
+        ctrl.feedback(x0, price_seq=np.zeros((3, 3), np.float32))
