@@ -200,3 +200,43 @@ def test_infeasibility_certificate(rng):
                       jnp.asarray(lbf, jnp.float32),
                       jnp.asarray(ubf, jnp.float32), iters=30)
     assert not bool(res2.infeas_cert)
+
+
+def test_bnb_random_structure_miqp_fuzz(rng):
+    """Random-structure MIQPs (not from any model family) vs the fp64
+    oracle: PSD H, random inequality rows, random binary subset with a
+    planted feasible assignment."""
+    from pyhybridcontrol_tpu.mld.info import MldInfo
+    from pyhybridcontrol_tpu.ops.condense import DeviceQP
+
+    for trial in range(6):
+        n, m, nb = 12, 10, 4
+        M = rng.normal(size=(n, n))
+        H = M @ M.T + n * np.eye(n)
+        f = rng.normal(size=n) * 2.0
+        G = rng.normal(size=(m, n))
+        bidx = tuple(sorted(rng.choice(n, size=nb, replace=False)))
+        xfeas = rng.uniform(0.2, 0.8, size=n)
+        for j in bidx:
+            xfeas[j] = float(rng.integers(0, 2))   # planted assignment
+        h = G @ xfeas + rng.uniform(0.1, 1.0, size=m)
+        lb, ub = np.zeros(n), np.ones(n)
+
+        admm = prepare_admm(G, H, q_typical=f, binary_idx=np.array(bidx))
+        j32 = lambda a: jnp.asarray(a, jnp.float32)  # noqa: E731
+        qp = DeviceQP(H=j32(H), f0=j32(f), Fx=jnp.zeros((n, 1)),
+                      Fw=jnp.zeros((n, 0)), Fup=jnp.zeros((n, 0)),
+                      G=j32(G), h0=j32(h), Hx=jnp.zeros((m, 1)),
+                      Hw=jnp.zeros((m, 0)), lb=j32(lb), ub=j32(ub),
+                      T_full=jnp.eye(n), binary_idx=bidx, N=1,
+                      info=MldInfo(nx=1, nu=n, ncons=m))
+        r = solve_miqp_bnb(admm, qp, jnp.asarray(f, jnp.float32),
+                           jnp.asarray(h, jnp.float32),
+                           BnbSpec(capacity=64, wave_size=16,
+                                   qp_iters=300, max_waves=24))
+        orc = solve_miqp_enumeration_oracle(H, f, G, h, lb, ub,
+                                            list(bidx))
+        assert orc.status == "optimal"
+        assert bool(r.found), f"trial {trial}: no incumbent"
+        rel = abs(float(r.obj) - orc.obj) / max(1.0, abs(orc.obj))
+        assert rel < 2e-3, f"trial {trial}: rel {rel:.2e}"
