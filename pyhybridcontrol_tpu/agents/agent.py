@@ -91,6 +91,16 @@ class MpcAgent(ControlledAgent):
                  control_model: Optional[MldModel] = None,
                  name: Optional[str] = None):
         super().__init__(sim_model, control_model, name)
+        ci, si = controller.model.info, sim_model.info
+        # the controller's plan (u, δ, z) is applied verbatim to the sim
+        # model, and the sim state is handed back — dims must line up
+        # (shape coincidences otherwise make wrong pairings run silently)
+        if (ci.nx, ci.nu, ci.ndelta, ci.nz) != (si.nx, si.nu, si.ndelta,
+                                                si.nz):
+            raise ValueError(
+                f"controller model dims (nx,nu,nδ,nz)="
+                f"{(ci.nx, ci.nu, ci.ndelta, ci.nz)} do not match sim "
+                f"model {(si.nx, si.nu, si.ndelta, si.nz)}")
         self.controller = controller
         self._u_prev = None
 
