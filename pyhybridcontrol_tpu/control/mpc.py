@@ -99,6 +99,13 @@ class MpcController:
         (shared) first-stage input and auto-supplies the tree's own
         disturbance paths as the forecast. ``v_seq`` in the result is
         the stacked (S·N, nv) scenario plan."""
+        g0 = np.asarray(tree.groups)[:, 0]
+        if not np.all(g0 == g0[0]):
+            raise ValueError(
+                "scenario tree branches at step 0: every scenario is its "
+                "own information set, so there is no shared first-stage "
+                "input for feedback to return. Branch at step >= 1 "
+                "(here-and-now control requires a common step-0 decision)")
         self._tree = tree
         self._version += 1
         return self
@@ -155,7 +162,7 @@ class MpcController:
         # decision frame is the full per-step v (optionally + slacks)
         self._repair = None
         if (self.solver == "bnb" and self._blocking is None
-                and self._tree is None):
+                and self._tree is None and self.model.info.nxb == 0):
             from pyhybridcontrol_tpu.solver.repair import prepare_repair
 
             rkw = {}

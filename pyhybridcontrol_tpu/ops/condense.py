@@ -320,6 +320,49 @@ class CondensedMpc:
         self.pred = StructDict(Phi=Phi, Gv=Gv, Gw=Gw, Gc=Gc,
                                Phi_t=Phi_t, Gv_t=Gv_t, Gw_t=Gw_t, Gc_t=Gc_t)
 
+        # ---- binary states (MLD form: x ∈ ℝ^nxc × {0,1}^nxb) ----
+        # Predicted states are affine in V, so integrality of x_{k,i}
+        # (k=1..N; x_0 is measured data) is enforced by one auxiliary
+        # BINARY d per (k, i) tied to the state expression by an
+        # equality pair:  Γv[r]·V − d = −Φ[r]x0 − Γω[r]W − Γc[r].
+        # Branching on d then fixes the predicted state to 0 or 1. The
+        # tie rows bind as equalities at every node → same static ρ
+        # boost as the big-M z rows (CLAUDE.md numerics rules).
+        xb_idx = np.nonzero([t == "b" for t in info.x_types])[0]
+        self.n_state_aux = 0
+        if len(xb_idx):
+            rows_r = np.concatenate(
+                [k * nx + xb_idx for k in range(N)])      # x_1..x_N rows
+            na = len(rows_r)
+            self.n_state_aux = na
+            nV0 = self.H.shape[0]
+            Daux = np.zeros((na, na))
+            # aux columns appended to V: zero cost (reg only)
+            self.H = np.block([[self.H, np.zeros((nV0, na))],
+                               [np.zeros((na, nV0)),
+                                Daux + reg * np.eye(na)]])
+            self.f0 = np.concatenate([self.f0, np.zeros(na)])
+            self.Fx = np.vstack([self.Fx, np.zeros((na, nx))])
+            self.Fw = np.vstack([self.Fw, np.zeros((na, self.Fw.shape[1]))])
+            self.Fup = np.vstack([self.Fup,
+                                  np.zeros((na, self.Fup.shape[1]))])
+            sel = -np.eye(na)
+            Gtie = np.hstack([Gv[rows_r], sel])           # Γv V − d
+            Gpad = np.hstack([self.G, np.zeros((self.G.shape[0], na))])
+            base = Gpad.shape[0]
+            self.G = np.vstack([Gpad, Gtie, -Gtie])
+            self.h0 = np.concatenate([self.h0, -Gc[rows_r], Gc[rows_r]])
+            self.Hx = np.vstack([self.Hx, -Phi[rows_r], Phi[rows_r]])
+            self.Hw = np.vstack([self.Hw, -Gw[rows_r], Gw[rows_r]])
+            self.lb = np.concatenate([self.lb, np.zeros(na)])
+            self.ub = np.concatenate([self.ub, np.ones(na)])
+            self.binary_mask = np.concatenate(
+                [self.binary_mask, np.ones(na, dtype=bool)])
+            self.T_full = np.hstack(
+                [self.T_full, np.zeros((self.T_full.shape[0], na))])
+            self.z_rows = np.concatenate(
+                [self.z_rows, base + np.arange(2 * na)])
+
     # -- transforms --------------------------------------------------------
     def _clone(self) -> "CondensedMpc":
         c = CondensedMpc.__new__(CondensedMpc)
@@ -354,6 +397,11 @@ class CondensedMpc:
             T[k * nv + nblk : (k + 1) * nv,
               B * nblk + k * nstep : B * nblk + (k + 1) * nstep] = (
                 np.eye(nstep))
+        n_extra = self.nV - N * nv    # binary-state aux cols stay 1:1
+        if n_extra:
+            T = np.block([[T, np.zeros((N * nv, n_extra))],
+                          [np.zeros((n_extra, T.shape[1])),
+                           np.eye(n_extra)]])
         return self._apply_T(T)
 
     def _apply_T(self, T: np.ndarray) -> "CondensedMpc":

@@ -59,12 +59,18 @@ class ScenarioTree:
 
     @classmethod
     def from_branching(cls, omega_paths, probs=None,
-                       branch_steps: Sequence[int] = (0,)):
+                       branch_steps: Sequence[int] = (1,)):
         """Scenarios are leaves of a tree that branches at
         ``branch_steps``: scenario s's information set at step k is its
         ancestor node = s grouped by how many branchings happened ≤ k.
         Assumes omega_paths are ordered depth-first (scenario index is
-        the leaf index)."""
+        the leaf index).
+
+        Default branches at step 1 (not 0): a step-0 branch makes every
+        scenario its own information set from the start — zero
+        non-anticipativity rows, and no shared first-stage decision for
+        ``feedback`` to return (here-and-now control needs the step-0
+        decision common to all scenarios)."""
         omega_paths = np.asarray(omega_paths, np.float64)
         S, N = omega_paths.shape[:2]
         if probs is None:
@@ -132,6 +138,17 @@ def build_scenario_tree_qp(cmpc: CondensedMpc, tree: ScenarioTree,
     joint.binary_mask = np.tile(cmpc.binary_mask, S)
     joint.T_full = np.eye(S * nV)
     joint.N = S * N
+    # big-M product rows (z_rows) must cover EVERY scenario block: the
+    # clone carries scenario-0 indices only, and the static rho boost on
+    # these rows is what lets degenerate PWA leaves converge (see
+    # ops/condense.py z_rows + CLAUDE.md). Computed against the
+    # block-diagonal G (non-anticipativity rows are appended after, so
+    # these offsets stay valid).
+    base_rows = cmpc.G.shape[0]
+    zr = getattr(cmpc, "z_rows", None)
+    joint.z_rows = (
+        np.concatenate([s * base_rows + zr for s in range(S)])
+        if zr is not None and len(zr) else np.zeros(0, dtype=int))
 
     # non-anticipativity: consecutive-pair equalities within each group
     # on the u and δ components (z stays free per scenario)

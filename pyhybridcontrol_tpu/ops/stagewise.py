@@ -97,6 +97,12 @@ def prepare_stagewise(model: MldModel, N: int,
     """Host fp64 build: stage blocks + block-tridiagonal LU of K."""
     w = weights or MpcWeights()
     info = model.info
+    if info.nxb > 0:
+        raise ValueError(
+            "stagewise solver does not support binary states (nxb>0): "
+            "branching runs over per-step v binaries only. Use the "
+            "condensed path, which enforces state integrality via "
+            "auxiliary binaries (ops/condense.py)")
     m = model.numpy_mats()
     nx, nv, nc = info.nx, info.nv, info.ncons
     b = nv + nx

@@ -150,8 +150,25 @@ def solve_qp_oracle(H, f, G=None, h=None, lb=None, ub=None,
         Axp = A0 @ xp
         feas_ok = (np.all(Axp <= u0 + 1e-7 * scale_rows)
                    and np.all(Axp >= l0 - 1e-7 * scale_rows))
-        sign_ok = np.all(np.where(act_u[act], nu >= -1e-6,
-                                  np.where(act_l[act], nu <= 1e-6, True)))
+        # Implied-equality pairs (z ≤ 0 ∧ −z ≤ 0 from fixed binaries —
+        # the exact case this polish exists for) are a single equality
+        # split over two rows: the rank-deficient KKT solve can put a
+        # negative multiplier on one row of the pair while their SUM
+        # (the equality's free-sign multiplier) is fine. Detect opposite
+        # active rows (A_i ≈ −A_j, b_i ≈ −b_j) and exempt them from the
+        # one-sided sign test.
+        free_sign = np.zeros(ka, dtype=bool)
+        if ka:
+            rnorm = np.maximum(np.abs(Aa).max(axis=1), 1e-12)
+            for i in range(ka):
+                opp = (np.abs(Aa + Aa[i]).max(axis=1)
+                       + np.abs(ba + ba[i])) < 1e-8 * rnorm[i]
+                opp[i] = False
+                if opp.any():
+                    free_sign[i] = True
+        sign_ok = np.all(np.where(free_sign, True,
+                         np.where(act_u[act], nu >= -1e-6,
+                                  np.where(act_l[act], nu <= 1e-6, True))))
         stat = np.linalg.norm(H @ xp + f + Aa.T @ nu, np.inf)
         stat_ok = stat < 1e-6 * max(1.0, np.abs(f).max())
         if feas_ok and sign_ok and stat_ok and np.all(np.isfinite(xp)):

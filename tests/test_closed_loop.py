@@ -91,10 +91,13 @@ def test_golden_trajectory_regression(ctrl):
     xs = np.asarray(res.xs)
     total_cost = float(np.sum(np.asarray(res.objs)))
     if not os.path.exists(GOLDEN):
-        os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
-        np.savez(GOLDEN, xs=xs, vs=np.asarray(res.vs),
-                 total_cost=total_cost)
-        pytest.skip("golden file created on first run")
+        if os.environ.get("PHC_REGEN_GOLDENS"):
+            os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
+            np.savez(GOLDEN, xs=xs, vs=np.asarray(res.vs),
+                     total_cost=total_cost)
+            pytest.skip("golden regenerated (PHC_REGEN_GOLDENS)")
+        pytest.fail("golden file missing — goldens are committed "
+                    "artifacts; set PHC_REGEN_GOLDENS=1 to regenerate")
     g = np.load(GOLDEN)
     np.testing.assert_allclose(xs, g["xs"], rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(total_cost, float(g["total_cost"]),

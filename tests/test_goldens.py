@@ -1,6 +1,9 @@
 """Golden closed-loop trajectories for BASELINE configs 2 and 3
 (SURVEY.md §4.4 — config 1's golden lives in test_closed_loop.py).
-Files self-generate on first run and are committed."""
+Goldens are COMMITTED; a missing file FAILS the suite (a silently
+regenerated golden would bless the current behavior — regression tests
+must not self-certify). Regenerate deliberately with
+``PHC_REGEN_GOLDENS=1 pytest tests/test_goldens.py``."""
 
 import os
 
@@ -22,9 +25,14 @@ def _check_or_create(name, res):
     xs = np.asarray(res.xs)
     cost = float(np.sum(np.asarray(res.objs)))
     if not os.path.exists(path):
-        os.makedirs(GOLD_DIR, exist_ok=True)
-        np.savez(path, xs=xs, vs=np.asarray(res.vs), total_cost=cost)
-        pytest.skip(f"golden {name} created on first run")
+        if os.environ.get("PHC_REGEN_GOLDENS"):
+            os.makedirs(GOLD_DIR, exist_ok=True)
+            np.savez(path, xs=xs, vs=np.asarray(res.vs), total_cost=cost)
+            pytest.skip(f"golden {name} regenerated (PHC_REGEN_GOLDENS)")
+        pytest.fail(
+            f"golden file {name} is missing — goldens are committed "
+            f"artifacts; set PHC_REGEN_GOLDENS=1 to regenerate "
+            f"deliberately")
     g = np.load(path)
     np.testing.assert_allclose(xs, g["xs"], rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(cost, float(g["total_cost"]), rtol=2e-3,

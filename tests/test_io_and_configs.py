@@ -162,3 +162,18 @@ def test_closed_loop_checkpoint_resume(tmp_path):
                                np.asarray(full.xs[5:]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(rest.objs),
                                np.asarray(full.objs[4:]), atol=1e-3)
+
+
+def test_measured_docs_in_sync():
+    """README/BASELINE measured tables are generated from
+    BENCH_DETAILS.json (single source of truth — a bench refresh that
+    forgets `python scripts/update_measured_docs.py` fails here)."""
+    import importlib.util
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "update_measured_docs",
+        os.path.join(root, "scripts", "update_measured_docs.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.main(check_only=True) == 0
