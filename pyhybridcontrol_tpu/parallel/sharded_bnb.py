@@ -68,6 +68,11 @@ def solve_miqp_bnb_sharded(admm: BoxQP, qp: DeviceQP, f, h,
     def global_any_active(alive):
         return jnp.any(jax.lax.all_gather(alive, axis))
 
+    def reduce_min(x):
+        # rel_gap termination reads the GLOBAL best open bound so every
+        # device exits the lock-step while_loop on the same wave.
+        return jnp.min(jax.lax.all_gather(x, axis))
+
     def shard_body(f_, h_, seed):
         dev = jax.lax.axis_index(axis)
         res = _bnb_loop(
@@ -78,6 +83,7 @@ def solve_miqp_bnb_sharded(admm: BoxQP, qp: DeviceQP, f, h,
             global_any_active=global_any_active,
             root_device_pred=(dev == 0),
             init_incumbent=seed,
+            reduce_min=reduce_min,
         )
         # aggregate counters
         nodes = jax.lax.psum(res.nodes_solved, axis)

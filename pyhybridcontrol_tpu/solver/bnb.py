@@ -101,6 +101,19 @@ class BnbSpec:
     probe_iters: int = 0         # iterations for dive probes / leaf
     # evaluation; 0 → same as qp_iters. Degenerate big-M leaves need
     # several thousand iterations to certify (see docs/PERFORMANCE.md).
+    rel_gap: float = 0.0         # relative MIPGap termination (the
+    # reference's Gurobi MIPGap option, SURVEY.md §2a): stop once
+    # (incumbent − best open bound) ≤ rel_gap·max(1, |incumbent|).
+    # 0 → run to optimality/pool exhaustion/max_waves.
+    probe_patience: int = 0      # probe gating: 0 → dive-probe every
+    # wave (always-on); k>0 → skip the probe batch once probes have
+    # failed to improve the incumbent k waves in a row (halves the QP
+    # work per wave in the common tail where pruning alone finishes).
+    # Waves whose selection contains an integral/leaf node always
+    # probe (that is how leaves produce incumbents).
+    branching: str = "pseudocost"   # "pseudocost" (reliability-style
+    # scores learned from observed bound degradations, most-fractional
+    # fallback while uninitialized) or "most_frac" (round-1 behavior).
 
     def __post_init__(self):
         if self.wave_size > self.capacity:
@@ -111,6 +124,10 @@ class BnbSpec:
                 f"capacity ({self.capacity})")
         if self.capacity < 2 or self.wave_size < 1:
             raise ValueError("need capacity >= 2 and wave_size >= 1")
+        if self.branching not in ("pseudocost", "most_frac"):
+            raise ValueError(f"unknown branching {self.branching!r}")
+        if self.rel_gap < 0 or self.probe_patience < 0:
+            raise ValueError("rel_gap and probe_patience must be >= 0")
 
 
 @jax.tree_util.register_dataclass
@@ -124,6 +141,13 @@ class BnbState:
     bound: jnp.ndarray        # (C,) parent relaxation lower bound
     active: jnp.ndarray       # (C,) bool
     depth: jnp.ndarray        # (C,) i32
+    branch_var: jnp.ndarray   # (C,) i32 — binary this node was created by
+    #                           branching on (−1 for the root/seeded)
+    branch_dir: jnp.ndarray   # (C,) i32 — 0 (fixed to 0) / 1 (fixed to 1)
+    branch_frac: jnp.ndarray  # (C,) f32 — parent's relaxed value of that
+    #                           binary (pseudo-cost denominator)
+    pc_sum: jnp.ndarray       # (nb, 2) pseudo-cost accumulators: observed
+    pc_cnt: jnp.ndarray       # (nb, 2) per-unit bound degradation by dir
     inc_obj: jnp.ndarray      # () incumbent objective
     inc_x: jnp.ndarray        # (n,) incumbent solution
     inc_found: jnp.ndarray    # () bool
@@ -132,6 +156,10 @@ class BnbState:
     overflow: jnp.ndarray     # () bool
     alive: jnp.ndarray        # () bool — any active node (globally, when
     #                           a global_any_active hook is installed)
+    probe_stale: jnp.ndarray  # () i32 — waves since a probe improved the
+    #                           incumbent (probe gating)
+    best_open: jnp.ndarray    # () f32 — min bound over open nodes
+    #                           (globally reduced; rel_gap termination)
 
 
 @jax.tree_util.register_dataclass
@@ -160,6 +188,11 @@ def _init_state(qp, spec: BnbSpec, dtype, m_total: int
         bound=jnp.full((C,), -BIG, dtype),
         active=jnp.zeros((C,), bool).at[0].set(True),
         depth=jnp.zeros((C,), jnp.int32),
+        branch_var=jnp.full((C,), -1, jnp.int32),
+        branch_dir=jnp.zeros((C,), jnp.int32),
+        branch_frac=jnp.full((C,), 0.5, dtype),
+        pc_sum=jnp.zeros((max(nb, 1), 2), dtype),
+        pc_cnt=jnp.zeros((max(nb, 1), 2), dtype),
         inc_obj=jnp.asarray(BIG, dtype),
         inc_x=jnp.zeros((n,), dtype),
         inc_found=jnp.asarray(False),
@@ -167,6 +200,8 @@ def _init_state(qp, spec: BnbSpec, dtype, m_total: int
         nodes_solved=jnp.asarray(0, jnp.int32),
         overflow=jnp.asarray(False),
         alive=jnp.asarray(True),
+        probe_stale=jnp.asarray(0, jnp.int32),
+        best_open=jnp.asarray(-BIG, dtype),
     )
 
 
@@ -176,14 +211,18 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
               reduce_incumbent=None,
               global_any_active=None,
               root_device_pred=None,
-              init_incumbent=None) -> BnbResult:
-    """Shared B&B wave loop. The three optional hooks are the multi-device
+              init_incumbent=None,
+              reduce_min=None) -> BnbResult:
+    """Shared B&B wave loop. The optional hooks are the multi-device
     seams (SURVEY.md §2b ``dist/collective``):
 
       exchange_children(pytree) — permute the child-1 batch across devices
         (load balancing); identity when single-device.
       reduce_incumbent(obj, x, found) — all-reduce-min the incumbent.
       global_any_active(bool) — OR-reduce the termination flag.
+      reduce_min(x) — all-reduce-min of the best open bound (rel_gap
+        termination must see the GLOBAL bound so every device stops on
+        the same wave).
 
     Called directly for single-chip solves and from inside ``shard_map``
     for pool-sharded solves (parallel/sharded_bnb.py).
@@ -230,7 +269,15 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
     fb, hb = backend.broadcast_data(f, h, W)
 
     def cond(s: BnbState):
-        return s.alive & (s.wave < spec.max_waves)
+        live = s.alive & (s.wave < spec.max_waves)
+        if spec.rel_gap > 0:
+            # relative MIPGap stop (reference Gurobi-option parity):
+            # best_open is the globally-reduced min open bound of the
+            # previous wave, so the decision is identical on every
+            # device (lock-step SPMD safe).
+            tol = spec.rel_gap * jnp.maximum(1.0, jnp.abs(s.inc_obj))
+            live &= ~(s.inc_found & (s.inc_obj - s.best_open <= tol))
+        return live
 
     def body(s: BnbState) -> BnbState:
         # -- 1. best-first selection ------------------------------------
@@ -258,27 +305,69 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
         frac = jnp.where(fm, 0.0, jnp.abs(xb - rounded))
         max_frac = jnp.max(frac, axis=1) if nb > 0 else jnp.zeros(W)
         integral = max_frac < spec.int_tol
+        fully_fixed = jnp.all(fm, axis=1)   # leaf: nothing left to branch
+
+        # -- 2b. pseudo-cost observation --------------------------------
+        # Each solved node whose bound is trustworthy reports the bound
+        # degradation caused by the branching that created it, per unit
+        # of the parent's fractional distance in that direction
+        # (classic pseudo-costs, cf. Achterberg's reliability
+        # branching). Accumulators live in the loop state; in sharded
+        # runs each device learns from its own pool (statistics differ
+        # but bounds stay exact — search quality only).
+        bv = s.branch_var[sel]
+        bdir = s.branch_dir[sel]
+        bf = jnp.clip(s.branch_frac[sel], 0.0, 1.0)
+        obs = valid & converged & (bv >= 0)
+        gain = jnp.maximum(lower - parent_bound, 0.0)
+        denom = jnp.where(bdir == 1, 1.0 - bf, bf)
+        contrib = jnp.where(obs, gain / jnp.maximum(denom, 1e-3), 0.0)
+        bv_safe = jnp.where(obs, bv, nb)             # OOB → dropped
+        pc_sum = s.pc_sum.at[bv_safe, bdir].add(contrib, mode="drop")
+        pc_cnt = s.pc_cnt.at[bv_safe, bdir].add(
+            obs.astype(s.pc_cnt.dtype), mode="drop")
 
         # -- 3. probe (dive): all binaries fixed to rounded -------------
         pv = jnp.where(fm, fv, rounded)
         ones = jnp.ones_like(fm)
         lb_p, ub_p = node_bounds(ones, pv)
-        probe = backend.solve(fb, hb, lb_p, ub_p,
-                              spec.probe_iters or spec.qp_iters,
-                              warm=(relax.x, relax.z, relax.y))
-        probe_ok = (probe.r_prim_rel < spec.feas_tol) & valid
-        probe_obj = jnp.where(probe_ok, probe.obj, BIG)
+
+        def do_probe(_):
+            probe = backend.solve(fb, hb, lb_p, ub_p,
+                                  spec.probe_iters or spec.qp_iters,
+                                  warm=(relax.x, relax.z, relax.y))
+            ok = (probe.r_prim_rel < spec.feas_tol) & valid
+            return jnp.where(ok, probe.obj, BIG), probe.x, ok
+
+        if spec.probe_patience == 0:
+            probe_obj, probe_x, probe_ok = do_probe(None)
+            probe_ran = jnp.asarray(True)
+        else:
+            # gate: probe while no incumbent yet, while probes are hot,
+            # or when the selection holds integral/leaf nodes (those
+            # only become incumbents through the probe solve).
+            leafish = jnp.any(valid & (integral | fully_fixed))
+            probe_ran = (~s.inc_found | leafish
+                         | (s.probe_stale < spec.probe_patience))
+            probe_obj, probe_x, probe_ok = jax.lax.cond(
+                probe_ran, do_probe,
+                lambda _: (jnp.full((W,), BIG, lower.dtype),
+                           jnp.zeros_like(relax.x),
+                           jnp.zeros((W,), bool)),
+                None)
         k = jnp.argmin(probe_obj)
         better = probe_obj[k] < s.inc_obj
         inc_obj = jnp.where(better, probe_obj[k], s.inc_obj)
-        inc_x = jnp.where(better, probe.x[k], s.inc_x)
+        inc_x = jnp.where(better, probe_x[k], s.inc_x)
         inc_found = s.inc_found | (better & probe_ok[k])
+        probe_stale = jnp.where(
+            probe_ran & better, 0,
+            s.probe_stale + probe_ran.astype(jnp.int32))
         if reduce_incumbent is not None:
             inc_obj, inc_x, inc_found = reduce_incumbent(
                 inc_obj, inc_x, inc_found)
 
         # -- 4. prune ----------------------------------------------------
-        fully_fixed = jnp.all(fm, axis=1)   # leaf: nothing left to branch
         prune = ((~valid) | infeasible | fully_fixed
                  | (converged & (lower >= inc_obj - spec.gap))
                  | (converged & integral))
@@ -287,14 +376,34 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
         # -- 5. branch ---------------------------------------------------
         child_bound = jnp.maximum(parent_bound,
                                   jnp.where(converged, lower, parent_bound))
-        # branch on most-fractional FREE binary (fixed ones score −1 so
-        # frac-0 ties can never select an already-fixed variable)
-        jstar = jnp.argmax(jnp.where(fm, -1.0, frac), axis=1)
+        xbc = jnp.clip(xb, 0.0, 1.0)
+        if spec.branching == "pseudocost":
+            # product rule over estimated down/up degradations; vars
+            # without observations use the global per-direction mean
+            # (1.0 before any observation exists → score reduces to
+            # f·(1−f), i.e. most-fractional-at-0.5 bootstrap).
+            cnt_tot = jnp.sum(pc_cnt, axis=0)                    # (2,)
+            gavg = jnp.where(cnt_tot > 0,
+                             jnp.sum(pc_sum, axis=0)
+                             / jnp.maximum(cnt_tot, 1.0), 1.0)
+            avg = pc_sum / jnp.maximum(pc_cnt, 1.0)              # (nb,2)
+            est = jnp.where(pc_cnt > 0, avg, gavg[None, :])
+            sc = (jnp.maximum(est[None, :, 0] * xbc, 1e-8)
+                  * jnp.maximum(est[None, :, 1] * (1.0 - xbc), 1e-8))
+            # keep genuinely fractional vars preferred over near-
+            # integral ones regardless of cost estimates
+            sc = sc * jnp.maximum(frac, 1e-4)
+            score = jnp.where(fm, -1.0, sc)
+        else:
+            score = jnp.where(fm, -1.0, frac)
+        jstar = jnp.argmax(score, axis=1)
         branch_hot = jax.nn.one_hot(jstar, nb, dtype=bool)
         cfm = fm | branch_hot
         cfv0 = jnp.where(branch_hot, 0.0, fv)
         cfv1 = jnp.where(branch_hot, 1.0, fv)
         cdepth = s.depth[sel] + 1
+        cbf = jnp.take_along_axis(xbc, jstar[:, None], axis=1)[:, 0]
+        cbv = jstar.astype(jnp.int32)
 
         # deactivate all selected nodes, then write child-0 into the
         # parent slot (inactive when not expanding — scatter is unmasked
@@ -304,6 +413,12 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
         fix_val = s.fix_val.at[sel].set(jnp.where(expand[:, None], cfv0, fv))
         bound = s.bound.at[sel].set(child_bound)
         depth = s.depth.at[sel].set(cdepth)
+        branch_var = s.branch_var.at[sel].set(
+            jnp.where(expand, cbv, s.branch_var[sel]))
+        branch_dir = s.branch_dir.at[sel].set(
+            jnp.where(expand, 0, s.branch_dir[sel]))
+        branch_frac = s.branch_frac.at[sel].set(
+            jnp.where(expand, cbf, s.branch_frac[sel]))
         active = active.at[sel].set(expand)
         if spec.warm_start:
             x_pool = s.x_pool.at[sel].set(relax.x)
@@ -316,7 +431,7 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
         # Multi-device: the child-1 batch is exchanged across devices
         # first (load balancing — SURVEY.md §5 "node redistribution").
         c1 = dict(fm=cfm, fv=cfv1, bound=child_bound, depth=cdepth,
-                  live=expand)
+                  live=expand, bv=cbv, bf=cbf)
         if spec.warm_start:
             c1.update(xw=relax.x, zw=relax.z, yw=relax.y)
         if exchange_children is not None:
@@ -337,6 +452,10 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
         fix_val = fix_val.at[tgt_safe].set(cfv1x[src], mode="drop")
         bound = bound.at[tgt_safe].set(cb1[src], mode="drop")
         depth = depth.at[tgt_safe].set(cd1[src], mode="drop")
+        branch_var = branch_var.at[tgt_safe].set(c1["bv"][src], mode="drop")
+        branch_dir = branch_dir.at[tgt_safe].set(1, mode="drop")
+        branch_frac = branch_frac.at[tgt_safe].set(c1["bf"][src],
+                                                   mode="drop")
         active = active.at[tgt_safe].set(True, mode="drop")
         if spec.warm_start:
             x_pool = x_pool.at[tgt_safe].set(c1["xw"][src], mode="drop")
@@ -347,18 +466,27 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
         alive = jnp.any(active)
         if global_any_active is not None:
             alive = global_any_active(alive)
+        best_open = jnp.min(jnp.where(active, bound, BIG))
+        if reduce_min is not None:
+            best_open = reduce_min(best_open)
 
         return BnbState(
             fix_mask=fix_mask, fix_val=fix_val,
             x_pool=x_pool, z_pool=z_pool, y_pool=y_pool,
             bound=bound, active=active,
-            depth=depth, inc_obj=inc_obj, inc_x=inc_x, inc_found=inc_found,
+            depth=depth,
+            branch_var=branch_var, branch_dir=branch_dir,
+            branch_frac=branch_frac, pc_sum=pc_sum, pc_cnt=pc_cnt,
+            inc_obj=inc_obj, inc_x=inc_x, inc_found=inc_found,
             wave=s.wave + 1,
             nodes_solved=s.nodes_solved + jnp.sum(valid.astype(jnp.int32)),
-            overflow=overflow, alive=alive)
+            overflow=overflow, alive=alive,
+            probe_stale=probe_stale, best_open=best_open)
 
     s = jax.lax.while_loop(cond, body, state)
     best_open = jnp.min(jnp.where(s.active, s.bound, BIG))
+    if reduce_min is not None:
+        best_open = reduce_min(best_open)
     return BnbResult(x=s.inc_x, obj=s.inc_obj, found=s.inc_found,
                      waves=s.wave, nodes_solved=s.nodes_solved,
                      overflow=s.overflow, best_open_bound=best_open)

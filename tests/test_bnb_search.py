@@ -1,0 +1,114 @@
+"""Round-2 B&B search-quality controls (VERDICT item 4; SURVEY.md §2a
+"solver options", §2b solver/bnb): relative MIPGap termination, dive-probe
+gating, pseudo-cost branching — all must preserve the optimum found by
+the round-1 configuration while reducing work."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyhybridcontrol_tpu.models.double_integrator import (
+    switched_double_integrator, default_weights)
+from pyhybridcontrol_tpu.ops.admm import prepare_admm_mpc
+from pyhybridcontrol_tpu.ops.condense import CondensedMpc
+from pyhybridcontrol_tpu.solver.bnb import BnbSpec, solve_miqp_bnb
+
+BIG = 1e30
+
+
+@pytest.fixture(scope="module")
+def prob():
+    model = switched_double_integrator()
+    c = CondensedMpc(model, 6, default_weights())
+    qp = c.device_qp()
+    admm = prepare_admm_mpc(c)
+    x0 = np.array([2.0, 0.0], np.float32)
+    f, h = qp.assemble(jnp.asarray(x0))
+    return qp, admm, f, h
+
+
+def _base(**kw):
+    return BnbSpec(capacity=128, wave_size=8, max_waves=64, qp_iters=400,
+                   **kw)
+
+
+def test_rel_gap_stop_is_valid_and_earlier(prob):
+    qp, admm, f, h = prob
+    exact = solve_miqp_bnb(admm, qp, f, h, _base())
+    loose = solve_miqp_bnb(admm, qp, f, h, _base(rel_gap=0.5))
+    assert bool(loose.found)
+    # a rel_gap incumbent is still a TRUE upper bound within the gap
+    tol = 0.5 * max(1.0, abs(float(exact.obj)))
+    assert float(exact.obj) <= float(loose.obj) <= float(exact.obj) + tol
+    assert int(loose.waves) <= int(exact.waves)
+    # and the certified gap at exit really is within tolerance
+    bo = float(loose.best_open_bound)
+    if bo < BIG * 0.99:   # stopped BY the gap (not by pool exhaustion)
+        assert float(loose.obj) - bo <= tol + 1e-5
+
+
+def test_tight_rel_gap_matches_exact(prob):
+    qp, admm, f, h = prob
+    exact = solve_miqp_bnb(admm, qp, f, h, _base())
+    tight = solve_miqp_bnb(admm, qp, f, h, _base(rel_gap=1e-6))
+    np.testing.assert_allclose(float(tight.obj), float(exact.obj),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_probe_gating_preserves_optimum(prob):
+    qp, admm, f, h = prob
+    ref = solve_miqp_bnb(admm, qp, f, h, _base())
+    gated = solve_miqp_bnb(admm, qp, f, h, _base(probe_patience=2))
+    assert bool(gated.found)
+    np.testing.assert_allclose(float(gated.obj), float(ref.obj),
+                               rtol=1e-5, atol=1e-5)
+    # clean termination still empties the frontier
+    assert float(gated.best_open_bound) >= BIG * 0.99
+
+
+def test_branching_rules_agree_on_optimum(prob):
+    qp, admm, f, h = prob
+    pc = solve_miqp_bnb(admm, qp, f, h, _base(branching="pseudocost"))
+    mf = solve_miqp_bnb(admm, qp, f, h, _base(branching="most_frac"))
+    assert bool(pc.found) and bool(mf.found)
+    np.testing.assert_allclose(float(pc.obj), float(mf.obj),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pseudocost_determinism(prob):
+    qp, admm, f, h = prob
+    spec = _base(branching="pseudocost", probe_patience=3, rel_gap=1e-4)
+    r1 = solve_miqp_bnb(admm, qp, f, h, spec)
+    r2 = solve_miqp_bnb(admm, qp, f, h, spec)
+    assert float(r1.obj) == float(r2.obj)
+    assert int(r1.nodes_solved) == int(r2.nodes_solved)
+    assert int(r1.waves) == int(r2.waves)
+
+
+def test_spec_validation_new_fields():
+    with pytest.raises(ValueError):
+        BnbSpec(branching="strong")
+    with pytest.raises(ValueError):
+        BnbSpec(rel_gap=-0.1)
+    with pytest.raises(ValueError):
+        BnbSpec(probe_patience=-1)
+
+
+def test_sharded_rel_gap_lockstep(prob):
+    """rel_gap termination must consume the globally-reduced bound so the
+    SPMD wave loops exit together (no collective mismatch/deadlock)."""
+    from jax.sharding import Mesh
+    from pyhybridcontrol_tpu.parallel.sharded_bnb import (
+        solve_miqp_bnb_sharded)
+
+    qp, admm, f, h = prob
+    devs = np.array(jax.devices()[:4])
+    mesh = Mesh(devs, ("pool",))
+    spec = BnbSpec(capacity=64, wave_size=8, max_waves=64, qp_iters=400,
+                   rel_gap=1e-6, probe_patience=2)
+    r = solve_miqp_bnb_sharded(admm, qp, f, h, spec, mesh)
+    solo = solve_miqp_bnb(admm, qp, f, h, _base())
+    assert bool(np.asarray(r.found).ravel()[0])
+    np.testing.assert_allclose(float(np.asarray(r.obj).ravel()[0]),
+                               float(solo.obj), rtol=1e-4, atol=1e-4)
