@@ -15,23 +15,65 @@ import time
 import numpy as np
 
 
-def _timeit(fn, *args, reps=5):
-    out = fn(*args)
-    jax_block(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    jax_block(out)
-    return (time.perf_counter() - t0) / reps, out
-
-
-def jax_block(out):
+def _fetch(out):
+    """Host-fetch one result leaf. Through the axon tunnel this is the
+    only reliable completion probe — ``block_until_ready`` was measured
+    returning before the work finished (400 MXU-bound kernel iterations
+    "timed" at 0.03 ms with a block-based harness)."""
     import jax
 
     for leaf in jax.tree_util.tree_leaves(out):
-        if hasattr(leaf, "block_until_ready"):
-            leaf.block_until_ready()
-            break
+        if hasattr(leaf, "dtype"):
+            np.asarray(leaf)
+            return
+
+
+def _chain(x, out):
+    """Next input = original input + 1e-12·mean(first float leaf of the
+    previous output): a real data dependency that serializes reps (the
+    tunnel otherwise overlaps/dedups identical programs, distorting
+    naive rep loops), with same shape/dtype (no recompile) and a
+    perturbation far below solver noise."""
+    import jax
+    import jax.numpy as jnp
+
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype,
+                                                     jnp.floating):
+            return x + (1e-12 * jnp.mean(leaf)).astype(x.dtype)
+    return x
+
+
+def _timeit(fn, *args, reps=5):
+    """Serialized (chained-dependency) timing; returns (s/rep, out)."""
+    out = fn(*args)
+    _fetch(out)                      # compile + warm
+    a0 = args[0]
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(a0, *args[1:])
+        a0 = _chain(args[0], out)
+    _fetch(out)
+    return (time.perf_counter() - t0) / reps, out
+
+
+def _timeit_marginal(fn, x, lo=8, hi=16):
+    """Marginal s/rep from a chained-rep differencing (hi−lo): cancels
+    the fixed dispatch/fetch overhead of the tunnel for sub-5ms
+    programs. Used for the primary metric only."""
+    def total(reps):
+        out = fn(x)
+        a0 = x
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(a0)
+            a0 = _chain(x, out)
+        _fetch(out)
+        return time.perf_counter() - t0
+
+    total(2)                          # compile + warm
+    t_lo, t_hi = total(lo), total(hi)
+    return max((t_hi - t_lo) / (hi - lo), 1e-9)
 
 
 def main():
@@ -61,6 +103,7 @@ def main():
         default_weights, switched_double_integrator)
     from pyhybridcontrol_tpu.ops.admm import admm_solve, prepare_admm_mpc
     from pyhybridcontrol_tpu.ops.condense import CondensedMpc
+    from pyhybridcontrol_tpu.ops.pallas_admm import admm_solve_auto
     from pyhybridcontrol_tpu.solver.bnb import BnbSpec, solve_miqp_bnb
 
     details = {"device": str(jax.devices()[0]),
@@ -79,17 +122,34 @@ def main():
 
     @jax.jit
     def batch_relax(x0s):
+        # admm_solve_auto: Pallas kernel on TPU (the default fast path),
+        # XLA elsewhere — dispatch resolved at trace time
+        fs, hs = jax.vmap(qp20.assemble)(x0s)
+        lb = jnp.broadcast_to(qp20.lb, (B, qp20.n))
+        ub = jnp.broadcast_to(qp20.ub, (B, qp20.n))
+        res = admm_solve_auto(admm20, fs, hs, lb, ub, iters=ITERS)
+        return res.obj, res.r_prim_rel
+
+    dt = _timeit_marginal(batch_relax, x0s)
+    solves_per_s = B / dt
+    details["primary_qp_solves_per_s"] = round(solves_per_s, 1)
+    details["primary_qp"] = dict(
+        iters=ITERS, batch=B, n=int(qp20.n), m=int(qp20.m),
+        path="pallas" if jax.default_backend() == "tpu" else "xla")
+
+    # same-process indicative A/B vs the pure-XLA path (separate-process
+    # numbers live in docs/PERFORMANCE.md; in-process A/B skews ~10-20%)
+    @jax.jit
+    def batch_relax_xla(x0s):
         fs, hs = jax.vmap(qp20.assemble)(x0s)
         lb = jnp.broadcast_to(qp20.lb, (B, qp20.n))
         ub = jnp.broadcast_to(qp20.ub, (B, qp20.n))
         res = admm_solve(admm20, fs, hs, lb, ub, iters=ITERS)
         return res.obj, res.r_prim_rel
 
-    dt, (obj, rel) = _timeit(batch_relax, x0s, reps=10)
-    solves_per_s = B / dt
-    details["primary_qp_solves_per_s"] = round(solves_per_s, 1)
-    details["primary_qp"] = dict(iters=ITERS, batch=B, n=int(qp20.n),
-                                 m=int(qp20.m))
+    if jax.default_backend() == "tpu":
+        dt_x = _timeit_marginal(batch_relax_xla, x0s)
+        details["primary_qp_xla_solves_per_s"] = round(B / dt_x, 1)
 
     def have_budget(section):
         left = args.budget - (time.perf_counter() - t_start)

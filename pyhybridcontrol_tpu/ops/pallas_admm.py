@@ -1,23 +1,37 @@
 """Pallas TPU kernel for the batched ADMM QP solver (SURVEY.md §2b
-``kernels/qp_admm`` — the speed-of-light path; the plain-XLA version in
-ops/admm.py is the always-working fallback, SURVEY.md §7 "hard parts").
+``kernels/qp_admm`` — the speed-of-light path; ops/admm.py is the
+always-working XLA fallback, SURVEY.md §7 "hard parts").
 
-Why a kernel: the XLA fori_loop version round-trips the iterate set
-(x, z, y — ~(B, n+2m̄) floats) through HBM every iteration. At MPC sizes
-(n≈64, m̄≈320) a whole batch tile of iterates PLUS the problem matrices
-fit in VMEM, so the kernel runs all ``iters`` iterations on-chip:
+Round-2 redesign. The round-1 kernel kept iterates VMEM-resident but ran
+batch-leading matmuls on lane-padded operands (n=60→128, m̄=260→384):
+~3.3× padded MXU work × 6-pass HIGHEST — it LOST to XLA (−26%,
+docs/PERFORMANCE.md). Three structural changes make this one win:
 
-    grid = (B // TB,)                       one program per batch tile
-    VMEM: Kinvᵀ (n̄,n̄), Â (m̄,n̄), Âᵀ + per-tile q,l,u + x,z,y scratch
-    loop body: 3 MXU matmuls on (TB, ·) tiles — zero HBM traffic
+1. **Transposed (batch-last) layout.** All iterate arrays are (rows, B):
+   the batch rides the 128-lane axis with zero padding; the small
+   structural dims (n, m) sit in sublanes (pad to 8, ≤7% waste) or the
+   contraction axis. Padded MXU work drops ~2.2× below even the XLA
+   batch-leading form.
 
-Shapes are padded to the fp32 tile grid (8, 128) on the host once at
-prepare time (padding rows of Â are zero ⇒ their z/y stay 0 and do not
-affect x̃; padding cols have Kinv=I ⇒ x stays 0 there).
+2. **σ = 0 variable elimination.** With box rows in Â, P̂ + Âᵀρ Â ≻ 0,
+   so the OSQP σ-prox is unnecessary and the x-carry drops out of the
+   iteration entirely. Precompute M = Â K₀⁻¹ (host fp64); each
+   iteration is TWO matmuls instead of three:
 
-The public entry ``admm_solve_pallas`` matches ``admm_solve`` semantics
-(original-unit inputs, Ruiz scaling internal, relative residuals) and is
-selected via ``backend="pallas"`` in the solver layers.
+       t  = Â_Gᵀ w_G + d_box ∘ w_box − q̂          (n, B)
+       zt = M t        (= Â x̃, both blocks at once) (m̄, B)
+
+   and x̃ itself is free: the box block of zt is d_box ∘ x̃.
+
+3. **Box rows leave the MXU.** The box block of Â is diag(E_box·D), so
+   its products are VPU elementwise; matmuls touch only the m G-rows.
+
+Everything stays in VMEM for all ``iters`` iterations per batch tile
+(grid over B), at full HIGHEST (fp32-equivalent 6-pass) precision —
+accuracy is identical to ops/admm.py; only the data movement and padding
+change. Residuals, objective, and the OSQP dual infeasibility
+certificate are computed IN the kernel (the round-1 kernel lacked the
+certificate), so the result is a drop-in ``AdmmResult``.
 """
 
 from __future__ import annotations
@@ -40,191 +54,375 @@ def _round_up(x: int, m: int) -> int:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class PallasQP:
-    """Padded, device-resident problem data for the Pallas kernel."""
+    """Padded, device-resident problem data for the Pallas kernel.
 
-    base: BoxQP                     # unpadded spec (host assembly reuse)
-    KinvT: jnp.ndarray              # (n̄, n̄)
-    A: jnp.ndarray                  # (m̄p, n̄)
-    AT: jnp.ndarray                 # (n̄, m̄p)
-    rho: jnp.ndarray                # (m̄p,) padded per-row ρ (1 in padding)
-    E: jnp.ndarray                  # (m̄p,) padded row scales
-    D: jnp.ndarray                  # (n̄,)
+    Derived from a prepared :class:`BoxQP` (host-side, once). Uses its
+    own σ=0 KKT inverse — the fixed point is the same QP solution; σ is
+    only the prox weight and P̂ + Âᵀρ Â is already positive definite
+    thanks to the box rows."""
+
+    base: BoxQP                 # unpadded spec (scalings, rho, precision)
+    AGT: jnp.ndarray            # (nr, mGp)  Â_Gᵀ zero-padded
+    M: jnp.ndarray              # (mGp+nr, nr)  [Â_G; diag(d_box)] K₀⁻¹
+    P: jnp.ndarray              # (nr, nr)  P̂ padded (dual residual/obj)
+    dbox: jnp.ndarray           # (nr, 1)  box diagonal E_box·D (0 in pad)
+    dbox_inv: jnp.ndarray       # (nr, 1)  1/d_box (1 in padding)
+    rhoG: jnp.ndarray           # (mGp, 1) per-row ρ (1 in padding)
+    rhoG_inv: jnp.ndarray       # (mGp, 1)
+    rhoB: jnp.ndarray           # (nr, 1)
+    rhoB_inv: jnp.ndarray       # (nr, 1)
+    EG_inv: jnp.ndarray         # (mGp, 1) 1/E over G rows (1 in padding)
+    EB_inv: jnp.ndarray         # (nr, 1)  1/E over box rows
+    Dc_inv: jnp.ndarray         # (nr, 1)  1/(D·c) (dual residual unscale)
     n_pad: int = dataclasses.field(metadata=dict(static=True))
     m_pad: int = dataclasses.field(metadata=dict(static=True))
 
+    @property
+    def n(self) -> int:
+        return self.base.n
+
+    @property
+    def m_ineq(self) -> int:
+        return self.base.m_ineq
+
 
 def prepare_pallas(spec: BoxQP) -> PallasQP:
-    """Pad a prepared BoxQP to TPU tile shapes (host-side, once)."""
-    n = spec.n
-    mt = spec.m_total
-    n_pad = _round_up(n, 128)
-    m_pad = _round_up(mt, 128)
-    KinvT = np.zeros((n_pad, n_pad), np.float32)
-    KinvT[:n, :n] = np.asarray(spec.Kinv).T
-    A = np.zeros((m_pad, n_pad), np.float32)
-    A[:mt, :n] = np.asarray(spec.A)
-    rho = np.ones(m_pad, np.float32)
-    rho[:mt] = np.asarray(spec.rho_vec)
-    E = np.ones(m_pad, np.float32)
-    E[:mt] = np.asarray(spec.E)
-    D = np.ones(n_pad, np.float32)
-    D[:n] = np.asarray(spec.D)
-    return PallasQP(base=spec,
-                    KinvT=jnp.asarray(KinvT), A=jnp.asarray(A),
-                    AT=jnp.asarray(A.T), rho=jnp.asarray(rho),
-                    E=jnp.asarray(E), D=jnp.asarray(D),
-                    n_pad=n_pad, m_pad=m_pad)
+    """Pad + refactor a prepared BoxQP for the kernel (host fp64, once)."""
+    n, mt, m = spec.n, spec.m_total, spec.m_ineq
+    nr = _round_up(n, 8)
+    mGp = _round_up(m, 8)
+    Ah = np.asarray(spec.A, np.float64)
+    Ph = np.asarray(spec.P, np.float64)
+    rho = np.asarray(spec.rho_vec, np.float64)
+    E = np.asarray(spec.E, np.float64)
+    D = np.asarray(spec.D, np.float64)
+    c = float(np.asarray(spec.cost_scale))
+
+    AG = Ah[:m]                                   # (m, n) scaled G block
+    dbox = np.diag(Ah[m:]) if Ah[m:].shape[0] == n else None
+    assert dbox is not None
+    # σ=0 KKT matrix (fp64): P̂ + Âᵀ ρ Â  (positive definite — box rows)
+    K0 = Ph + (Ah.T * rho[None, :]) @ Ah
+    K0inv = np.linalg.inv(K0)
+    Mfull = np.vstack([AG, np.diag(dbox)]) @ K0inv       # (m+n, n)
+
+    AGT = np.zeros((nr, mGp), np.float32)
+    AGT[:n, :m] = AG.T
+    Mp = np.zeros((mGp + nr, nr), np.float32)
+    Mp[:m, :n] = Mfull[:m]
+    Mp[mGp:mGp + n, :n] = Mfull[m:]
+    Pp = np.zeros((nr, nr), np.float32)
+    Pp[:n, :n] = Ph
+
+    def col(v, rows, fill):
+        out = np.full((rows, 1), fill, np.float32)
+        out[:len(v), 0] = v
+        return out
+
+    db = col(dbox, nr, 0.0)
+    return PallasQP(
+        base=spec,
+        AGT=jnp.asarray(AGT), M=jnp.asarray(Mp), P=jnp.asarray(Pp),
+        dbox=jnp.asarray(db),
+        dbox_inv=jnp.asarray(np.where(db == 0.0, 1.0, 1.0 / np.where(
+            db == 0.0, 1.0, db))),
+        rhoG=jnp.asarray(col(rho[:m], mGp, 1.0)),
+        rhoG_inv=jnp.asarray(col(1.0 / rho[:m], mGp, 1.0)),
+        rhoB=jnp.asarray(col(rho[m:], nr, 1.0)),
+        rhoB_inv=jnp.asarray(col(1.0 / rho[m:], nr, 1.0)),
+        EG_inv=jnp.asarray(col(1.0 / E[:m], mGp, 1.0)),
+        EB_inv=jnp.asarray(col(1.0 / E[m:], nr, 1.0)),
+        Dc_inv=jnp.asarray(col(1.0 / (D * c), nr, 1.0)),
+        n_pad=nr, m_pad=mGp,
+    )
 
 
-def _admm_kernel(q_ref, l_ref, u_ref, kinvt_ref, a_ref, at_ref, rho_ref,
-                 x_ref, z_ref, y_ref, *, iters: int, sigma: float,
-                 alpha: float):
-    from jax.experimental import pallas as pl  # noqa: F401
+def _admm_kernel(q_ref, lG_ref, uG_ref, lB_ref, uB_ref,
+                 agt_ref, m_ref, p_ref, dbox_ref, dboxi_ref,
+                 rhoG_ref, rhoGi_ref, rhoB_ref, rhoBi_ref,
+                 egi_ref, ebi_ref, dci_ref, cinv_ref,
+                 *rest, iters: int, alpha: float, prec, warm: bool):
+    if warm:
+        z0G_ref, y0G_ref, z0B_ref, y0B_ref = rest[:4]
+        rest = rest[4:]
+    x_ref, zG_ref, yG_ref, zB_ref, yB_ref, stats_ref = rest
 
     q = q_ref[:]
-    l = l_ref[:]
-    u = u_ref[:]
-    rho = rho_ref[:]          # (1, m̄p) broadcast row
-    x = jnp.zeros_like(q)
-    z = jnp.clip(jnp.zeros_like(l), l, u)
-    y = jnp.zeros_like(l)
+    lG, uG = lG_ref[:], uG_ref[:]
+    lB, uB = lB_ref[:], uB_ref[:]
+    AGT = agt_ref[:]
+    M = m_ref[:]
+    dbox, dboxi = dbox_ref[:], dboxi_ref[:]
+    rhoG, rhoGi = rhoG_ref[:], rhoGi_ref[:]
+    rhoB, rhoBi = rhoB_ref[:], rhoBi_ref[:]
+    mGp = AGT.shape[1]
+
+    if warm:
+        zG = jnp.clip(z0G_ref[:], lG, uG)
+        yG = y0G_ref[:]
+        zB = jnp.clip(z0B_ref[:], lB, uB)
+        yB = y0B_ref[:]
+    else:
+        zG = jnp.clip(jnp.zeros_like(lG), lG, uG)
+        yG = jnp.zeros_like(lG)
+        zB = jnp.clip(jnp.zeros_like(lB), lB, uB)
+        yB = jnp.zeros_like(lB)
+
+    def mm(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=prec)
+
+    def half_step(zG, yG, zB, yB):
+        """w → t → u = Â x̃ (the x-update of one OSQP iteration)."""
+        wG = rhoG * zG - yG
+        wB = rhoB * zB - yB
+        t = mm(AGT, wG) + dbox * wB - q           # (nr, B)
+        return mm(M, t)                           # Â x̃, both blocks
 
     def body(_, carry):
-        x, z, y = carry
-        w = rho * z - y
-        # fp32 inputs + DEFAULT precision = bf16 MXU passes — wrong for
-        # ADMM; HIGHEST gives fp32-equivalent multi-pass accumulation.
-        t = sigma * x - q + jax.lax.dot_general(
-            w, a_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-        xt = jax.lax.dot_general(
-            t, kinvt_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-        zt = jax.lax.dot_general(
-            xt, at_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-        zr = alpha * zt + (1.0 - alpha) * z
-        z_new = jnp.clip(zr + y / rho, l, u)
-        y_new = y + rho * (zr - z_new)
-        return xt, z_new, y_new
+        zG, yG, zB, yB = carry
+        u = half_step(zG, yG, zB, yB)
+        ztG = u[:mGp]
+        ztB = u[mGp:]
+        zrG = alpha * ztG + (1.0 - alpha) * zG
+        zG_new = jnp.clip(zrG + yG * rhoGi, lG, uG)
+        dyG = rhoG * (zrG - zG_new)
+        zrB = alpha * ztB + (1.0 - alpha) * zB
+        zB_new = jnp.clip(zrB + yB * rhoBi, lB, uB)
+        dyB = rhoB * (zrB - zB_new)
+        return (zG_new, yG + dyG, zB_new, yB + dyB)
 
-    x, z, y = jax.lax.fori_loop(0, iters, body, (x, z, y))
+    zG, yG, zB, yB = jax.lax.fori_loop(
+        0, iters, body, (zG, yG, zB, yB))
+
+    # one extra x-update post-loop: x̃ paired with the final (z, y), and
+    # the δy of the transition OUT of it feeds the infeasibility
+    # certificate (a valid dual step direction — same as one more
+    # iteration of the XLA path). Keeps the loop carry minimal.
+    u = half_step(zG, yG, zB, yB)
+    ztG = u[:mGp]
+    ztB = u[mGp:]
+    zrG = alpha * ztG + (1.0 - alpha) * zG
+    dyG = rhoG * (zrG - jnp.clip(zrG + yG * rhoGi, lG, uG))
+    zrB = alpha * ztB + (1.0 - alpha) * zB
+    dyB = rhoB * (zrB - jnp.clip(zrB + yB * rhoBi, lB, uB))
+    x = ztB * dboxi                               # x̃ = d⁻¹ (d ∘ x̃)
     x_ref[:] = x
-    z_ref[:] = z
-    y_ref[:] = y
+    zG_ref[:] = zG
+    yG_ref[:] = yG
+    zB_ref[:] = zB
+    yB_ref[:] = yB
+
+    # ---- residuals / objective / certificate (original units) ----------
+    # all row-reductions keepdims → (1, B) (TPU prefers ≥2-D values)
+    def rmax(a):
+        return jnp.max(a, axis=0, keepdims=True)
+
+    def rsum(a):
+        return jnp.sum(a, axis=0, keepdims=True)
+
+    egi, ebi = egi_ref[:], ebi_ref[:]
+    violG = jnp.abs(ztG - jnp.clip(ztG, lG, uG)) * egi
+    violB = jnp.abs(ztB - jnp.clip(ztB, lB, uB)) * ebi
+    r_prim = jnp.maximum(rmax(violG), rmax(violB))
+    relG = violG / jnp.maximum(1.0, jnp.abs(ztG * egi))
+    relB = violB / jnp.maximum(1.0, jnp.abs(ztB * ebi))
+    r_rel = jnp.maximum(rmax(relG), rmax(relB))
+
+    Px = mm(p_ref[:], x)                          # (nr, B)
+    Aty = mm(AGT, yG) + dbox * yB
+    dual = (Px + q + Aty) * dci_ref[:]
+    r_dual = rmax(jnp.abs(dual))
+    cinv = cinv_ref[0, 0]
+    obj = (0.5 * rsum(x * Px) + rsum(q * x)) * cinv
+
+    # OSQP §3.4 primal-infeasibility certificate from the final δy
+    dy_norm = jnp.maximum(rmax(jnp.abs(dyG)), rmax(jnp.abs(dyB)))
+    Atdy = rmax(jnp.abs(mm(AGT, dyG) + dbox * dyB))
+    finuG, finlG = uG < 0.9 * BIG, lG > -0.9 * BIG
+    finuB, finlB = uB < 0.9 * BIG, lB > -0.9 * BIG
+    dypG, dynG = jnp.maximum(dyG, 0.0), jnp.minimum(dyG, 0.0)
+    dypB, dynB = jnp.maximum(dyB, 0.0), jnp.minimum(dyB, 0.0)
+    support = (rsum(jnp.where(~finuG, dypG, 0.0))
+               + rsum(jnp.where(~finlG, -dynG, 0.0))
+               + rsum(jnp.where(~finuB, dypB, 0.0))
+               + rsum(jnp.where(~finlB, -dynB, 0.0)))
+    gap_term = (rsum(jnp.where(finuG, uG * dypG, 0.0))
+                + rsum(jnp.where(finlG, lG * dynG, 0.0))
+                + rsum(jnp.where(finuB, uB * dypB, 0.0))
+                + rsum(jnp.where(finlB, lB * dynB, 0.0)))
+    eps_c = 1e-4
+    cert = ((dy_norm > 1e-12)
+            & (Atdy <= eps_c * dy_norm)
+            & (support <= eps_c * dy_norm)
+            & (gap_term <= -eps_c * dy_norm)).astype(jnp.float32)
+
+    pad = jnp.zeros((3,) + obj.shape[1:], jnp.float32)
+    stats_ref[:] = jnp.concatenate(
+        [obj, r_prim, r_rel, r_dual, cert, pad], axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "tile"))
-def _pallas_run(pq: PallasQP, qp_pad, l_pad, u_pad, iters: int, tile: int):
+_PREC = {"highest": jax.lax.Precision.HIGHEST,
+         "high": jax.lax.Precision.HIGH,
+         "default": jax.lax.Precision.DEFAULT}
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("iters", "tile", "warm", "interpret"))
+def _pallas_run(pq: PallasQP, qT, lGT, uGT, lBT, uBT, warm_arrs,
+                iters: int, tile: int, warm: bool,
+                interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    B = qp_pad.shape[0]
-    n_pad, m_pad = pq.n_pad, pq.m_pad
+    B = qT.shape[1]
+    nr, mGp = pq.n_pad, pq.m_pad
     spec = pq.base
     grid = (B // tile,)
-    kernel = functools.partial(_admm_kernel, iters=iters,
-                               sigma=spec.sigma, alpha=spec.alpha)
-    x, z, y = pl.pallas_call(
+    kernel = functools.partial(
+        _admm_kernel, iters=iters, alpha=spec.alpha,
+        prec=_PREC[spec.precision], warm=warm)
+
+    def tile_spec(rows):
+        return pl.BlockSpec((rows, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [tile_spec(nr),                       # qT
+                tile_spec(mGp), tile_spec(mGp),      # lG, uG
+                tile_spec(nr), tile_spec(nr),        # lB, uB
+                const_spec((nr, mGp)),               # AGT
+                const_spec((mGp + nr, nr)),          # M
+                const_spec((nr, nr)),                # P
+                const_spec((nr, 1)), const_spec((nr, 1)),    # dbox(, inv)
+                const_spec((mGp, 1)), const_spec((mGp, 1)),  # rhoG(, inv)
+                const_spec((nr, 1)), const_spec((nr, 1)),    # rhoB(, inv)
+                const_spec((mGp, 1)), const_spec((nr, 1)),   # E invs
+                const_spec((nr, 1)),                 # Dc_inv
+                const_spec((1, 1))]                  # cost_scale⁻¹
+    args = [qT, lGT, uGT, lBT, uBT,
+            pq.AGT, pq.M, pq.P, pq.dbox, pq.dbox_inv,
+            pq.rhoG, pq.rhoG_inv, pq.rhoB, pq.rhoB_inv,
+            pq.EG_inv, pq.EB_inv, pq.Dc_inv,
+            (1.0 / pq.base.cost_scale).reshape(1, 1).astype(jnp.float32)]
+    if warm:
+        in_specs += [tile_spec(mGp), tile_spec(mGp),
+                     tile_spec(nr), tile_spec(nr)]
+        args += list(warm_arrs)
+
+    out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((tile, n_pad), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),       # q
-            pl.BlockSpec((tile, m_pad), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),       # l
-            pl.BlockSpec((tile, m_pad), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),       # u
-            pl.BlockSpec((n_pad, n_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),       # KinvT
-            pl.BlockSpec((m_pad, n_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),       # A
-            pl.BlockSpec((n_pad, m_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),       # AT
-            pl.BlockSpec((1, m_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),       # rho row
-        ],
-        out_specs=[
-            pl.BlockSpec((tile, n_pad), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, m_pad), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, m_pad), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        interpret=interpret,
+        in_specs=in_specs,
+        out_specs=[tile_spec(nr),
+                   tile_spec(mGp), tile_spec(mGp),
+                   tile_spec(nr), tile_spec(nr),
+                   tile_spec(8)],
         out_shape=[
-            jax.ShapeDtypeStruct((B, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((B, m_pad), jnp.float32),
-            jax.ShapeDtypeStruct((B, m_pad), jnp.float32),
+            jax.ShapeDtypeStruct((nr, B), jnp.float32),
+            jax.ShapeDtypeStruct((mGp, B), jnp.float32),
+            jax.ShapeDtypeStruct((mGp, B), jnp.float32),
+            jax.ShapeDtypeStruct((nr, B), jnp.float32),
+            jax.ShapeDtypeStruct((nr, B), jnp.float32),
+            jax.ShapeDtypeStruct((8, B), jnp.float32),
         ],
-    )(qp_pad, l_pad, u_pad, pq.KinvT, pq.A, pq.AT, pq.rho[None, :])
-    return x, z, y
+    )(*args)
+    return out
 
 
 def admm_solve_pallas(pq: PallasQP, q, h, lb, ub, iters: int = 100,
-                      tile: int = 128, interpret: bool = False
-                      ) -> AdmmResult:
+                      tile: int = 512, warm=None,
+                      interpret: bool = False) -> AdmmResult:
     """Batched ADMM via the Pallas kernel. q (B,n), h (B,m), lb/ub (B,n)
-    in ORIGINAL units; returns the same AdmmResult as ``admm_solve``.
-    B must be a multiple of ``tile`` (pad the batch at call sites)."""
+    in ORIGINAL units; returns the same AdmmResult as ``admm_solve``
+    (original-unit x/obj/residuals, scaled-frame z/y for warm starts).
+    ``warm``: optional (x, z, y) from a previous AdmmResult (x unused —
+    the σ=0 iteration has no x-carry). B must be a multiple of ``tile``
+    (pad the batch at call sites)."""
     spec = pq.base
-    n, mt, m = spec.n, spec.m_total, spec.m_ineq
+    n, m = spec.n, spec.m_ineq
+    mt = spec.m_total
     B = q.shape[0]
+    if B % tile != 0:
+        tile = max(t for t in (128, 256, 512) if B % t == 0) \
+            if any(B % t == 0 for t in (128, 256, 512)) else None
+        if tile is None:
+            raise ValueError(f"batch {B} not a multiple of 128")
     c = spec.cost_scale
+    nr, mGp = pq.n_pad, pq.m_pad
 
-    # scale + pad (cheap XLA elementwise; fused with surrounding program)
-    qh = jnp.zeros((B, pq.n_pad), jnp.float32)
-    qh = qh.at[:, :n].set(c * spec.D * q)
-    l_pad = jnp.full((B, pq.m_pad), -BIG, jnp.float32)
-    u_pad = jnp.full((B, pq.m_pad), BIG, jnp.float32)
-    l_pad = l_pad.at[:, m:mt].set(jnp.clip(lb * spec.E[m:], -BIG, BIG))
-    u_pad = u_pad.at[:, :m].set(h * spec.E[:m])
-    u_pad = u_pad.at[:, m:mt].set(jnp.clip(ub * spec.E[m:], -BIG, BIG))
-    # padding rows: l=u=0 keeps z,y at 0 there
-    l_pad = l_pad.at[:, mt:].set(0.0)
-    u_pad = u_pad.at[:, mt:].set(0.0)
+    # scale + transpose + pad (cheap XLA ops fused around the kernel)
+    qT = jnp.zeros((nr, B), jnp.float32).at[:n].set((c * spec.D * q).T)
+    lGT = jnp.zeros((mGp, B), jnp.float32).at[:m].set(-BIG)
+    uGT = jnp.zeros((mGp, B), jnp.float32).at[:m].set((h * spec.E[:m]).T)
+    lBT = jnp.zeros((nr, B), jnp.float32).at[:n].set(
+        jnp.clip(lb * spec.E[m:], -BIG, BIG).T)
+    uBT = jnp.zeros((nr, B), jnp.float32).at[:n].set(
+        jnp.clip(ub * spec.E[m:], -BIG, BIG).T)
 
-    if interpret:
-        from jax.experimental.pallas import tpu as pltpu
+    warm_arrs = None
+    if warm is not None:
+        _, z0, y0 = warm
+        warm_arrs = (
+            jnp.zeros((mGp, B), jnp.float32).at[:m].set(z0[..., :m].T),
+            jnp.zeros((mGp, B), jnp.float32).at[:m].set(y0[..., :m].T),
+            jnp.zeros((nr, B), jnp.float32).at[:n].set(z0[..., m:mt].T),
+            jnp.zeros((nr, B), jnp.float32).at[:n].set(y0[..., m:mt].T),
+        )
 
-        with pltpu.force_tpu_interpret_mode():
-            x, z, y = _pallas_run(pq, qh, l_pad, u_pad, iters, tile)
-    else:
-        x, z, y = _pallas_run(pq, qh, l_pad, u_pad, iters, tile)
+    xT, zGT, yGT, zBT, yBT, stats = _pallas_run(
+        pq, qT, lGT, uGT, lBT, uBT, warm_arrs, iters, tile,
+        warm is not None, interpret)
 
-    x = x[:, :n]
-    z = z[:, :mt]
-    y = y[:, :mt]
-
-    # residuals/objective identical to ops/admm.py (original units)
-    prec = spec.precision
-    Ax = jnp.matmul(x, spec.A.T, precision=prec)
-    l0, u0 = _unpadded_bounds(spec, h, lb, ub)
-    Ax_orig = Ax / spec.E
-    viol = jnp.abs(Ax - jnp.clip(Ax, l0, u0)) / spec.E
-    r_prim = jnp.max(viol, axis=-1)
-    r_rel = jnp.max(viol / jnp.maximum(1.0, jnp.abs(Ax_orig)), axis=-1)
-    qh_s = c * spec.D * q
-    dual = (jnp.matmul(x, spec.P.T, precision=prec) + qh_s
-            + jnp.matmul(y, spec.A, precision=prec)) / (spec.D * c)
-    r_dual = jnp.max(jnp.abs(dual), axis=-1)
-    obj = (0.5 * jnp.sum(x * jnp.matmul(x, spec.P.T, precision=prec),
-                         axis=-1) + jnp.sum(qh_s * x, axis=-1)) / c
-    # kernel does not expose δy → no certificate (conservative False:
-    # callers treat non-converged nodes as "branch anyway", never prune)
-    cert = jnp.zeros(r_prim.shape, bool)
-    return AdmmResult(x=spec.D * x, obj=obj, r_prim=r_prim,
-                      r_prim_rel=r_rel, r_dual=r_dual,
-                      infeas_cert=cert, y=y, z=z)
+    x = (spec.D * xT[:n].T)
+    z = jnp.concatenate([zGT[:m].T, zBT[:n].T], axis=-1)
+    y = jnp.concatenate([yGT[:m].T, yBT[:n].T], axis=-1)
+    return AdmmResult(x=x, obj=stats[0], r_prim=stats[1],
+                      r_prim_rel=stats[2], r_dual=stats[3],
+                      infeas_cert=stats[4] > 0.5, y=y, z=z)
 
 
-def _unpadded_bounds(spec: BoxQP, h, lb, ub):
-    m = spec.m_ineq
-    l = jnp.concatenate([jnp.full(h.shape[:-1] + (m,), -BIG, h.dtype),
-                         jnp.clip(lb * spec.E[m:], -BIG, BIG)], axis=-1)
-    u = jnp.concatenate([h * spec.E[:m],
-                         jnp.clip(ub * spec.E[m:], -BIG, BIG)], axis=-1)
-    return l, u
+# ---- default dispatch: kernel on TPU, XLA path elsewhere ----------------
+
+_PQ_CACHE: dict = {}
+
+
+def pallas_for(spec: BoxQP) -> PallasQP:
+    """Memoized ``prepare_pallas`` keyed on BoxQP object identity (the
+    host fp64 refactorization runs once per prepared problem)."""
+    ent = _PQ_CACHE.get(id(spec))
+    if ent is None or ent[0] is not spec:
+        ent = (spec, prepare_pallas(spec))
+        _PQ_CACHE[id(spec)] = ent
+    return ent[1]
+
+
+def admm_solve_auto(spec: BoxQP, q, h, lb, ub, iters: int = 100,
+                    warm=None) -> AdmmResult:
+    """Default batched-QP entry point (same signature/result as
+    ``ops.admm.admm_solve``): dispatches to the Pallas kernel when it can
+    win — TPU backend, a 2-D batch that tiles to the 128-lane grain —
+    and to the XLA path otherwise (CPU, single solves, odd batches, or a
+    ``spec`` passed through jit arguments, whose traced arrays cannot be
+    refactorized host-side). Dispatch is resolved at trace time, so this
+    is jit-compatible; close over ``spec`` rather than passing it as a
+    jit argument to enable the fast path."""
+    from pyhybridcontrol_tpu.ops.admm import admm_solve
+
+    concrete = not isinstance(spec.P, jax.core.Tracer)
+    if (concrete and jax.default_backend() == "tpu"
+            and getattr(q, "ndim", 1) == 2 and q.shape[0] % 128 == 0):
+        pq = pallas_for(spec)
+        B, n = q.shape
+        m = spec.m_ineq
+        hb = jnp.broadcast_to(h, (B, m))
+        lbb = jnp.broadcast_to(lb, (B, n))
+        ubb = jnp.broadcast_to(ub, (B, n))
+        return admm_solve_pallas(pq, q, hb, lbb, ubb, iters=iters,
+                                 warm=warm)
+    return admm_solve(spec, q, h, lb, ub, iters=iters, warm=warm)

@@ -129,7 +129,9 @@ def test_unit_commitment_condensed():
     r = solve_miqp_enumeration_oracle(c2.H, f, c2.G, h, c2.lb, c2.ub,
                                       c2.binary_idx)
     assert r.status == "optimal"
-    us = r.x.reshape(N, model.info.nv)[:, 0]
+    # dewh has a binary state (u_prev), so the condensed MIQP appends
+    # N state-integrality aux binaries after the N·nv stage variables
+    us = r.x[:N * model.info.nv].reshape(N, model.info.nv)[:, 0]
     # every ON-run within the horizon lasts ≥ 3 steps (or runs to the end)
     runs = []
     run = 0

@@ -26,24 +26,84 @@ def test_pallas_matches_xla_interpret(rng):
     fs, hs = jax.vmap(qp.assemble)(x0s)
     lb = jnp.broadcast_to(qp.lb, (B, qp.n))
     ub = jnp.broadcast_to(qp.ub, (B, qp.n))
+    # truncated iterations: the kernel's sigma=0 iteration takes a
+    # slightly different path than the XLA sigma=1e-6 one (same fixed
+    # point), so mid-flight iterates agree only to path noise
     ref = admm_solve(spec, fs, hs, lb, ub, iters=60)
     pal = admm_solve_pallas(pq, fs, hs, lb, ub, iters=60, interpret=True)
     np.testing.assert_allclose(np.asarray(pal.obj), np.asarray(ref.obj),
-                               rtol=1e-3, atol=1e-3)
+                               rtol=1e-2, atol=1e-2)
     np.testing.assert_allclose(np.asarray(pal.x), np.asarray(ref.x),
-                               rtol=1e-3, atol=1e-4)
+                               rtol=1e-2, atol=2e-2)
+    # converged: both paths land on the same QP solution
+    ref = admm_solve(spec, fs, hs, lb, ub, iters=400)
+    pal = admm_solve_pallas(pq, fs, hs, lb, ub, iters=400, interpret=True)
+    np.testing.assert_allclose(np.asarray(pal.obj), np.asarray(ref.obj),
+                               rtol=2e-4, atol=2e-4)
+    # x agrees to fp32 noise along near-flat directions; obj (the B&B
+    # bound) is the tight quantity
+    np.testing.assert_allclose(np.asarray(pal.x), np.asarray(ref.x),
+                               rtol=1e-2, atol=2e-3)
     np.testing.assert_allclose(np.asarray(pal.r_prim),
-                               np.asarray(ref.r_prim), atol=1e-4)
+                               np.asarray(ref.r_prim), atol=1e-3)
 
 
 def test_pallas_padding_shapes():
+    # batch-last layout: structural dims pad to the 8-sublane grain only
+    # (the batch rides the 128-lane axis), so padding waste is <=7%
     model = switched_double_integrator()
     c = CondensedMpc(model, 6, default_weights())
     spec = prepare_admm_mpc(c)
     pq = prepare_pallas(spec)
-    assert pq.n_pad % 128 == 0 and pq.m_pad % 128 == 0
-    assert pq.KinvT.shape == (pq.n_pad, pq.n_pad)
-    assert pq.A.shape == (pq.m_pad, pq.n_pad)
+    assert pq.n_pad % 8 == 0 and pq.m_pad % 8 == 0
+    assert pq.n_pad - spec.n < 8 and pq.m_pad - spec.m_ineq < 8
+    assert pq.AGT.shape == (pq.n_pad, pq.m_pad)
+    assert pq.M.shape == (pq.m_pad + pq.n_pad, pq.n_pad)
+
+
+def test_pallas_warm_start_interpret(rng):
+    model = switched_double_integrator()
+    c = CondensedMpc(model, 6, default_weights())
+    qp = c.device_qp()
+    spec = prepare_admm_mpc(c)
+    pq = prepare_pallas(spec)
+    B = 128
+    x0s = jnp.asarray(rng.normal(size=(B, 2)).astype(np.float32))
+    fs, hs = jax.vmap(qp.assemble)(x0s)
+    lb = jnp.broadcast_to(qp.lb, (B, qp.n))
+    ub = jnp.broadcast_to(qp.ub, (B, qp.n))
+    cold = admm_solve_pallas(pq, fs, hs, lb, ub, iters=120, interpret=True)
+    r1 = admm_solve_pallas(pq, fs, hs, lb, ub, iters=60, interpret=True)
+    warm = admm_solve_pallas(pq, fs, hs, lb, ub, iters=60,
+                             warm=(r1.x, r1.z, r1.y), interpret=True)
+    # 60 warm + 60 = 120 cold exactly (sigma=0 iteration has no x carry)
+    np.testing.assert_allclose(np.asarray(warm.obj), np.asarray(cold.obj),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_infeasibility_certificate(rng):
+    """Instance 0 gets contradictory rows (x0 ≤ 1 ∧ x0 ≥ 2); the kernel's
+    in-kernel OSQP dual certificate must fire on it and stay quiet on the
+    feasible instances, matching the XLA path."""
+    from pyhybridcontrol_tpu.ops.admm import prepare_admm
+
+    n = 8
+    H = np.eye(n)
+    G = np.vstack([np.eye(n)[:1], -np.eye(n)[:1]])
+    spec = prepare_admm(G, H)
+    pq = prepare_pallas(spec)
+    B = 128
+    fs = jnp.asarray(rng.normal(size=(B, n)).astype(np.float32))
+    hs = jnp.broadcast_to(jnp.asarray([1.0, 2.0], jnp.float32), (B, 2))
+    hs = hs.at[0].set(jnp.asarray([1.0, -2.0]))   # x0 ≤ 1 ∧ x0 ≥ 2
+    lb = jnp.full((B, n), -10.0, jnp.float32)
+    ub = jnp.full((B, n), 10.0, jnp.float32)
+    res = admm_solve_pallas(pq, fs, hs, lb, ub, iters=400, interpret=True)
+    ref = admm_solve(spec, fs, hs, lb, ub, iters=400)
+    cert = np.asarray(res.infeas_cert)
+    assert cert[0], "certificate missed a true infeasibility"
+    assert not cert[1:].any()
+    np.testing.assert_array_equal(cert, np.asarray(ref.infeas_cert))
 
 
 def test_profiling_utils():
