@@ -116,17 +116,20 @@ class MpcController:
         if self._built_version == self._version and self._cmpc is not None:
             return self
         if self.solver == "stagewise":
-            # long-horizon path: O(N) block-tridiagonal frame. Transforms
-            # that reshape the decision are condensed-frame-only.
-            if (self._soft is not None or self._blocking is not None
-                    or self._extra is not None or self._terminal is not None
-                    or self._tree is not None):
+            # long-horizon path: O(N) block-tridiagonal frame. Δu/Qy
+            # weights and soft stage constraints ride natively (prox
+            # form); transforms that reshape the decision (blocking,
+            # horizon-coupled extra rows, terminal sets, trees) are
+            # condensed-frame-only.
+            if (self._blocking is not None or self._extra is not None
+                    or self._terminal is not None or self._tree is not None):
                 raise ValueError(
-                    "solver='stagewise' supports plain stage problems; "
-                    "use the condensed solvers for soft/blocking/extra/"
-                    "terminal transforms and scenario trees")
+                    "solver='stagewise' supports stage-local problems "
+                    "(incl. Δu/Qy weights and soft stage rows); use the "
+                    "condensed solvers for blocking/extra/terminal "
+                    "transforms and scenario trees")
             self._sw = prepare_stagewise(self.model, self.N, self.weights,
-                                         rho=self.rho)
+                                         rho=self.rho, soft=self._soft)
             self._cmpc = None
             self._built_version = self._version
             return self
@@ -222,7 +225,8 @@ class MpcController:
                     f"price_seq must have N={self.N} rows (per control "
                     f"step), got {np.shape(price_seq)}")
         if self.solver == "stagewise":
-            return self._feedback_stagewise(x0, omega_forecast, price_seq)
+            return self._feedback_stagewise(x0, omega_forecast, price_seq,
+                                            u_prev)
         qp, admm = self._qp, self._admm
         if omega_forecast is None and self._tree is not None:
             # the tree's own disturbance paths, stacked scenario-major
@@ -309,7 +313,8 @@ class MpcController:
             x0s = jax.device_put(x0s, scenario_sharding(mesh))
         return fn(x0s, W, Pq, up)
 
-    def _feedback_stagewise(self, x0, omega_forecast, price_seq):
+    def _feedback_stagewise(self, x0, omega_forecast, price_seq,
+                            u_prev=None):
         from pyhybridcontrol_tpu.solver.bnb_stagewise import (
             solve_miqp_bnb_stagewise)
 
@@ -318,7 +323,9 @@ class MpcController:
              if omega_forecast is not None else None)
         Pq = (jnp.asarray(price_seq, jnp.float32)
               if price_seq is not None else None)
-        q, l, u = assemble_stagewise(sw, x0, W, Pq)
+        up = (jnp.asarray(u_prev, jnp.float32)
+              if u_prev is not None else None)
+        q, l, u = assemble_stagewise(sw, x0, W, Pq, u_prev=up)
         res = solve_miqp_bnb_stagewise(sw, q, l, u, self.bnb_spec)
         xi = res.x.reshape(sw.N, sw.b)
         v_seq = xi[:, : sw.nv]

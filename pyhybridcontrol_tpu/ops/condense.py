@@ -124,6 +124,10 @@ class DeviceQP:
     binary_idx: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
     N: int = dataclasses.field(metadata=dict(static=True))
     info: MldInfo = dataclasses.field(metadata=dict(static=True))
+    # stage-shift permutation over binaries for the closed-loop
+    # shifted-plan warm start (() = not stage-structured, shift disabled)
+    binary_shift: Tuple[int, ...] = dataclasses.field(
+        default=(), metadata=dict(static=True))
 
     @property
     def n(self) -> int:
@@ -330,6 +334,7 @@ class CondensedMpc:
         # boost as the big-M z rows (CLAUDE.md numerics rules).
         xb_idx = np.nonzero([t == "b" for t in info.x_types])[0]
         self.n_state_aux = 0
+        self.n_soft = 0
         if len(xb_idx):
             rows_r = np.concatenate(
                 [k * nx + xb_idx for k in range(N)])      # x_1..x_N rows
@@ -481,6 +486,7 @@ class CondensedMpc:
         c.ub = np.concatenate([self.ub, np.full(ns, np.inf)])
         c.binary_mask = np.concatenate([self.binary_mask,
                                         np.zeros(ns, dtype=bool)])
+        c.n_soft = self.n_soft + ns
         return c
 
     # -- host-side assembly (oracle path, float64) --------------------------
@@ -499,6 +505,56 @@ class CondensedMpc:
         return f, h
 
     # -- export -------------------------------------------------------------
+    def _binary_shift_perm(self) -> tuple:
+        """Stage-shift permutation over the reduced binaries, for the
+        closed-loop shifted-plan warm start (SURVEY.md §3.3): entry j is
+        the index of the binary holding the same per-stage slot ONE
+        STAGE LATER (identity at the final stage — the classic
+        shift-and-repeat plan). Stage/slot of a binary comes from its
+        T_full column; binary-state aux columns (empty T_full
+        columns, the leading ``n_state_aux`` entries of the identity
+        tail) are stage-major by construction. Under move blocking a
+        one-stage shift is NOT representable (a blocked u-binary spans
+        several stages, and mixing shifted δ-indicators with unshifted
+        blocked u is mutually inconsistent → infeasible seeds, measured
+        on the thermal_uc config), so any multi-stage binary column
+        degrades the whole permutation to identity: reuse the previous
+        assignment verbatim, which stays feasible whenever the plant
+        follows the prediction. Returns () when the layout is not
+        stage-structured (e.g. a scenario-tree joint QP), which
+        disables the shift seed."""
+        bidx = np.nonzero(self.binary_mask)[0]
+        if len(bidx) == 0:
+            return ()
+        nv, N = self.info.nv, self.N
+        if self.T_full.shape[0] != N * nv:
+            return ()
+        na = getattr(self, "n_state_aux", 0)
+        n_soft = getattr(self, "n_soft", 0)
+        aux_lo = self.nV - n_soft - na     # aux cols: [aux_lo, aux_lo+na)
+        nxb = na // N if na else 0
+        stage_slot = []
+        for bj in bidx:
+            rows = np.nonzero(np.abs(self.T_full[:, bj]) > 1e-9)[0]
+            if len(rows):
+                if len({int(r) // nv for r in rows}) > 1:
+                    return tuple(range(len(bidx)))   # blocked → identity
+                r = rows[-1]
+                stage_slot.append((r // nv, r % nv))
+            elif na and aux_lo <= bj < aux_lo + na:
+                a = bj - aux_lo
+                stage_slot.append((a // nxb, nv + (a % nxb)))
+            else:
+                stage_slot.append(None)
+        pos = {}
+        for j, ss in enumerate(stage_slot):
+            if ss is not None and ss in pos:
+                return ()                  # ambiguous layout — disable
+            pos[ss] = j
+        return tuple(
+            j if ss is None else pos.get((ss[0] + 1, ss[1]), j)
+            for j, ss in enumerate(stage_slot))
+
     def device_qp(self, dtype=jnp.float32) -> DeviceQP:
         big = 1e30  # fp32-safe stand-in for ±inf in box bounds
         return DeviceQP(
@@ -517,6 +573,7 @@ class CondensedMpc:
             binary_idx=tuple(int(i) for i in np.nonzero(self.binary_mask)[0]),
             N=self.N,
             info=self.info,
+            binary_shift=self._binary_shift_perm(),
         )
 
     @property

@@ -24,8 +24,19 @@ Same per-row-ρ equality boost as ops/admm.py: dynamics rows (true
 equalities) get ρ·rho_eq_scale, binary box rows likewise.
 
 Supported weights: Qx/QxN/qx/qxN, Ru/ru, Qdelta/qdelta, Rz/rz, x_ref,
-per-step price sequences. (Δu rate and y-output weights need one more
-off-diagonal block / output row block — condensed path covers them.)
+per-step price sequences, Δu rate (Rdu, u_{−1} at feedback) and
+y-output costs (Qy/qy). Δu and Qy couple consecutive stages, so the
+objective P is block-TRIdiagonal (P_off) rather than block-diagonal —
+K keeps the exact same block-tridiagonal LU, the off blocks just gain
+a P term.
+
+Soft constraints take the prox route (no slack variables): a soft
+inequality row with penalty lin·s + quad·s² (s = violation) is the
+exact proximal z-update  z = u + max(ρ(v−u) − lin, 0)/(ρ + 2·quad)
+for v beyond the bound — closed-form, elementwise on the VPU, O(0)
+extra memory, and the objective adds the penalty explicitly so B&B
+bounds stay exact. Parity with the condensed slack formulation is
+tested (tests/test_stagewise.py).
 """
 
 from __future__ import annotations
@@ -55,9 +66,19 @@ class StagewiseQP:
     A_dyn: jnp.ndarray       # (nx, nx)
     E: jnp.ndarray           # (nc, nx)
     Fv: jnp.ndarray          # (nc, nv)
-    # objective
-    P_diag: jnp.ndarray      # (N, b, b) block-diagonal quadratic
+    # objective (block tridiagonal: Δu / Qy couple consecutive stages)
+    P_diag: jnp.ndarray      # (N, b, b) diagonal blocks
+    P_off: jnp.ndarray       # (N, b, b) P_{k,k−1}; [0] zero
     q0: jnp.ndarray          # (N, b) constant linear term
+    # feedback-time linear-term maps (zero matrices when unused)
+    Rdu2: jnp.ndarray        # (nu, nu) 2·Rdu — q[0,:nu] −= Rdu2 u_prev
+    M_vy: jnp.ndarray        # (nv, ny) 2·DvᵀQy — y-data → v linear term
+    M_xy: jnp.ndarray        # (nx, ny) 2·CᵀQy  — y-data → x linear term
+    Cy: jnp.ndarray          # (ny, nx) output C (y_0 carries C x_0 data)
+    D4y: jnp.ndarray         # (ny, nw) output disturbance map
+    # soft constraints (prox form; zeros = hard row)
+    soft_lin: jnp.ndarray    # (N, m_k) linear penalty per row
+    soft_quad: jnp.ndarray   # (N, m_k) quadratic penalty per row
     # K factorization (block LU): forward L, diagonal-inverse U⁻¹, and
     # the back-substitution coupler C_k = U_k⁻¹ K_{k,k+1}
     L: jnp.ndarray           # (N, b, b), L[0] unused
@@ -78,6 +99,7 @@ class StagewiseQP:
     sigma: float = dataclasses.field(metadata=dict(static=True))
     alpha: float = dataclasses.field(metadata=dict(static=True))
     binary_idx_v: tuple = dataclasses.field(metadata=dict(static=True))
+    has_soft: bool = dataclasses.field(metadata=dict(static=True))
 
     @property
     def b(self) -> int:
@@ -92,9 +114,13 @@ def prepare_stagewise(model: MldModel, N: int,
                       weights: Optional[MpcWeights] = None,
                       rho: float = 1.0, rho_eq_scale: float = 10.0,
                       sigma: float = 1e-6, alpha: float = 1.6,
-                      reg: float = 1e-8,
+                      reg: float = 1e-8, soft=None,
                       dtype=jnp.float32) -> StagewiseQP:
-    """Host fp64 build: stage blocks + block-tridiagonal LU of K."""
+    """Host fp64 build: stage blocks + block-tridiagonal LU of K.
+
+    ``soft``: optional (rows, lin_pen, quad_pen) with ``rows`` indexing
+    stage-inequality rows over the horizon as ``k*ncons + r`` (the same
+    convention as ``CondensedMpc.with_soft_constraints``)."""
     w = weights or MpcWeights()
     info = model.info
     if info.nxb > 0:
@@ -122,6 +148,7 @@ def prepare_stagewise(model: MldModel, N: int,
     qxN = _vec(w.qxN, nx) if w.qxN is not None else qx
 
     P_diag = np.zeros((N, b, b))
+    P_off = np.zeros((N, b, b))        # P_{k,k−1}
     q0 = np.zeros((N, b))
     for k in range(N):
         Qk = QxN if k == N - 1 else Qx
@@ -133,6 +160,57 @@ def prepare_stagewise(model: MldModel, N: int,
         P_diag[k] += reg * np.eye(b)
         q0[k, :nv] = rv
         q0[k, nv:] = qk
+
+    # Δu rate cost (condense.py:282 convention: Δu_k = u_k − u_{k−1},
+    # k = 0..N−1, u_{−1} supplied at feedback → assemble-time q term)
+    nu = info.nu
+    Rdu2 = np.zeros((nu, nu))
+    if w.Rdu is not None and nu > 0:
+        Rdu2 = 2.0 * _sq(w.Rdu, nu)
+        for k in range(N):
+            P_diag[k, :nu, :nu] += Rdu2            # from Δu_k
+            if k < N - 1:
+                P_diag[k, :nu, :nu] += Rdu2        # from Δu_{k+1}
+            if k >= 1:
+                P_off[k, :nu, :nu] -= Rdu2         # u_k·u_{k−1} cross
+
+    # y-output cost over y_0..y_{N−1}: y_k = C x_k + Dv v_k + D4 ω_k +
+    # d5 (condense.py:265). x_k is ξ_{k−1}'s x-part (k≥1; x_0 is data →
+    # assemble-time), v_k is ξ_k's v-part → one more cross-stage block.
+    ny = m.C.shape[0]
+    Dv = np.hstack([m.D1, m.D2, m.D3])
+    M_vy = np.zeros((nv, ny))
+    M_xy = np.zeros((nx, ny))
+    if (w.Qy is not None or w.qy is not None) and ny > 0:
+        Qy = _sq(w.Qy, ny)
+        qy = _vec(w.qy, ny)
+        M_vy = 2.0 * Dv.T @ Qy
+        M_xy = 2.0 * m.C.T @ Qy
+        d5 = m.d5[:, 0]
+        gy = 2.0 * (Qy @ d5) + qy                  # constant y-data part
+        for k in range(N):
+            P_diag[k, :nv, :nv] += 2.0 * Dv.T @ Qy @ Dv
+            q0[k, :nv] += Dv.T @ gy
+            if k >= 1:
+                P_diag[k - 1, nv:, nv:] += 2.0 * m.C.T @ Qy @ m.C
+                q0[k - 1, nv:] += m.C.T @ gy
+                P_off[k, :nv, nv:] += M_vy @ m.C   # v_k · x_k cross
+
+    # soft stage-inequality rows → per-row prox penalties
+    m_k_rows = nx + nc + b
+    soft_lin = np.zeros((N, m_k_rows))
+    soft_quad = np.zeros((N, m_k_rows))
+    if soft is not None:
+        rows, lin_pen, quad_pen = soft
+        rows = np.asarray(rows, dtype=int)
+        lin_a = np.broadcast_to(np.asarray(lin_pen, float), rows.shape)
+        quad_a = np.broadcast_to(np.asarray(quad_pen, float), rows.shape)
+        if np.any(rows < 0) or np.any(rows >= N * nc):
+            raise ValueError(
+                f"soft rows must lie in [0, N*ncons={N * nc})")
+        k_idx, r_idx = rows // nc, rows % nc
+        soft_lin[k_idx, nx + r_idx] = lin_a
+        soft_quad[k_idx, nx + r_idx] = quad_a
 
     # per-stage A blocks. Row layout: [dyn(nx); ineq(nc); box(b)].
     # "own" block J_k (cols = ξ_k), "prev" block M_k (cols = ξ_{k−1}).
@@ -172,7 +250,7 @@ def prepare_stagewise(model: MldModel, N: int,
         if k + 1 < N:
             K_diag[k] += MtRM
         if k >= 1:
-            K_off[k] = JtRM           # K_{k,k−1}
+            K_off[k] = JtRM + P_off[k]   # K_{k,k−1} (constraint + obj)
     # Note: stage-0 rows have no ξ_{−1}; their M-part references x_0 which
     # is DATA (enters l/u), so M does not contribute to K at k=0. ✓
 
@@ -202,13 +280,17 @@ def prepare_stagewise(model: MldModel, N: int,
     as_ = lambda a: jnp.asarray(a, dtype)
     return StagewiseQP(
         Bv=as_(Bv), A_dyn=as_(m.A), E=as_(m.E), Fv=as_(Fv),
-        P_diag=as_(P_diag), q0=as_(q0),
+        P_diag=as_(P_diag), P_off=as_(P_off), q0=as_(q0),
+        Rdu2=as_(Rdu2), M_vy=as_(M_vy), M_xy=as_(M_xy),
+        Cy=as_(m.C), D4y=as_(m.D4),
+        soft_lin=as_(soft_lin), soft_quad=as_(soft_quad),
         L=as_(L), Uinv=as_(Uinv), C=as_(C),
         lb_xi=as_(lb_xi), ub_xi=as_(ub_xi),
         f5=as_(m.f5[:, 0]), b5=as_(m.b5[:, 0]), B4=as_(m.B4),
         F4=as_(m.F4), rho_rows=as_(rho_full),
         N=N, nx=nx, nv=nv, nc=nc, sigma=float(sigma), alpha=float(alpha),
-        binary_idx_v=tuple(int(i) for i in np.nonzero(vb_mask)[0]))
+        binary_idx_v=tuple(int(i) for i in np.nonzero(vb_mask)[0]),
+        has_soft=bool(soft_lin.any() or soft_quad.any()))
 
 
 # ---------------------------------------------------------------------------
@@ -248,6 +330,24 @@ def _apply_AT(sw: StagewiseQP, w):
     return jnp.concatenate([out_v, out_x], axis=-1) + wb
 
 
+def _apply_P(sw: StagewiseQP, x):
+    """P x with block-tridiagonal P:
+    (Px)_k = P_kk x_k + P_{k,k−1} x_{k−1} + P_{k+1,k}ᵀ x_{k+1}."""
+    Px = jnp.einsum("kij,...kj->...ki", sw.P_diag, x,
+                    precision="highest")
+    xprev = jnp.concatenate(
+        [jnp.zeros_like(x[..., :1, :]), x[..., :-1, :]], axis=-2)
+    Px = Px + jnp.einsum("kij,...kj->...ki", sw.P_off, xprev,
+                         precision="highest")
+    xnext = jnp.concatenate(
+        [x[..., 1:, :], jnp.zeros_like(x[..., :1, :])], axis=-2)
+    P_off_next = jnp.concatenate(
+        [jnp.transpose(sw.P_off[1:], (0, 2, 1)),
+         jnp.zeros_like(sw.P_off[:1])], axis=0)
+    return Px + jnp.einsum("kij,...kj->...ki", P_off_next, xnext,
+                           precision="highest")
+
+
 def _solve_K(sw: StagewiseQP, r):
     """K⁻¹ r via the block LU sweeps. r: (…, N, b) → (…, N, b)."""
     r_t = jnp.moveaxis(r, -2, 0)                  # (N, …, b)
@@ -273,13 +373,30 @@ def _solve_K(sw: StagewiseQP, r):
     return jnp.moveaxis(xs, 0, -2)
 
 
-def assemble_stagewise(sw: StagewiseQP, x0, W=None, price_seq=None):
-    """Per-solve data: q (N,b), l/u (N,m_k) from (x0, forecasts, prices).
-    price_seq: (N, nv) per-step linear weight on v."""
+def assemble_stagewise(sw: StagewiseQP, x0, W=None, price_seq=None,
+                       u_prev=None):
+    """Per-solve data: q (N,b), l/u (N,m_k) from (x0, forecasts, prices,
+    previous input). price_seq: (N, nv) per-step linear weight on v.
+    u_prev: (nu,) previous applied input — the Δu_0 = u_0 − u_prev
+    linear term (needed only when Rdu weights are set)."""
     N, nx, nc, nv, b = sw.N, sw.nx, sw.nc, sw.nv, sw.b
     q = sw.q0
     if price_seq is not None:
         q = q.at[..., :, :nv].add(price_seq)
+    if u_prev is not None and sw.Rdu2.shape[0] > 0:
+        nu = sw.Rdu2.shape[0]
+        q = q.at[..., 0, :nu].add(-(sw.Rdu2 @ u_prev))
+    # y-output cost data terms: y_k's data part is D4 ω_k (+ C x_0 at
+    # k=0, where x_0 is measurement not decision)
+    ydat0 = sw.Cy @ x0                               # (ny,)
+    if W is not None and sw.D4y.shape[1] > 0:
+        yw = W @ sw.D4y.T                            # (N, ny)
+        ydat0 = ydat0 + yw[0]
+        q = q.at[..., 1:, :nv].add(
+            jnp.einsum("vy,ky->kv", sw.M_vy, yw[1:]))
+        q = q.at[..., :-1, nv:].add(
+            jnp.einsum("xy,ky->kx", sw.M_xy, yw[1:]))
+    q = q.at[..., 0, :nv].add(sw.M_vy @ ydat0)
     dyn_rhs = jnp.broadcast_to(sw.b5, (N, nx))
     ineq_ub = jnp.broadcast_to(sw.f5, (N, nc))
     if W is not None and sw.B4.shape[1] > 0:
@@ -305,6 +422,8 @@ def stagewise_admm_solve(sw: StagewiseQP, q, l, u, iters: int = 200,
         u = u.at[..., :, sw.nx + sw.nc:].set(ub_xi)
     rho = sw.rho_rows
     alpha, sigma = sw.alpha, sw.sigma
+    soft = (sw.soft_lin > 0) | (sw.soft_quad > 0)     # (N, m_k)
+    any_soft = sw.has_soft                            # static → traceable
     batch = q.shape[:-2]
     if warm is None:
         x = jnp.zeros(batch + (sw.N, sw.b), q.dtype)
@@ -314,6 +433,17 @@ def stagewise_admm_solve(sw: StagewiseQP, q, l, u, iters: int = 200,
         x, z, y = warm
         z = jnp.clip(z, l, u)
 
+    def z_update(s):
+        """Box projection on hard rows; exact penalty prox on soft rows
+        (upper-side: min lin·t + quad·t² + ρ/2(z−s)², t = (z−u)₊)."""
+        z_hard = jnp.clip(s, l, u)
+        if not any_soft:
+            return z_hard
+        t = (rho * (s - u) - sw.soft_lin) / (rho + 2.0 * sw.soft_quad)
+        z_soft = jnp.where(s > u, u + jnp.maximum(t, 0.0),
+                           jnp.maximum(s, l))
+        return jnp.where(soft, z_soft, z_hard)
+
     def body(_, carry):
         x, z, y, _ = carry
         w = rho * z - y
@@ -321,7 +451,7 @@ def stagewise_admm_solve(sw: StagewiseQP, q, l, u, iters: int = 200,
         xt = _solve_K(sw, t)
         zt = _apply_A(sw, xt)
         zr = alpha * zt + (1.0 - alpha) * z
-        z_new = jnp.clip(zr + y / rho, l, u)
+        z_new = z_update(zr + y / rho)
         y_new = y + rho * (zr - z_new)
         return xt, z_new, y_new, y_new - y
 
@@ -329,16 +459,28 @@ def stagewise_admm_solve(sw: StagewiseQP, q, l, u, iters: int = 200,
                                     (x, z, y, jnp.zeros_like(y)))
 
     Ax = _apply_A(sw, x)
+    # hard rows: distance to the box; soft rows: split-variable gap
+    # |Ax − z| (violation beyond the bound is *allowed*, paid in obj)
     viol = jnp.abs(Ax - jnp.clip(Ax, l, u))
+    if any_soft:
+        viol = jnp.where(soft, jnp.abs(Ax - z), viol)
     r_prim = jnp.max(viol, axis=(-2, -1))
     r_rel = jnp.max(viol / jnp.maximum(1.0, jnp.abs(Ax)), axis=(-2, -1))
-    Px = jnp.einsum("kij,...kj->...ki", sw.P_diag, x,
-                    precision="highest")
+    Px = _apply_P(sw, x)
     dual = Px + q + _apply_AT(sw, y)
     r_dual = jnp.max(jnp.abs(dual), axis=(-2, -1))
     obj = (0.5 * jnp.sum(x * Px, axis=(-2, -1))
            + jnp.sum(q * x, axis=(-2, -1)))
-    # primal-infeasibility certificate (see ops/admm.py)
+    if any_soft:
+        sviol = jnp.where(soft, jnp.maximum(Ax - u, 0.0), 0.0)
+        obj = obj + jnp.sum(sw.soft_lin * sviol
+                            + sw.soft_quad * sviol * sviol,
+                            axis=(-2, -1))
+    # primal-infeasibility certificate (see ops/admm.py). Soft rows can
+    # never witness infeasibility (their violation is purchasable), so
+    # their dual-change contribution is masked out of the certificate.
+    if any_soft:
+        dy = jnp.where(soft, 0.0, dy)
     dy_norm = jnp.max(jnp.abs(dy), axis=(-2, -1))
     Atdy = jnp.max(jnp.abs(_apply_AT(sw, dy)), axis=(-2, -1))
     fin_u = u < 0.9 * BIG

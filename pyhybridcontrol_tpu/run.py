@@ -112,13 +112,18 @@ def main(argv=None):
         from pyhybridcontrol_tpu.loop.closed_loop import ClosedLoopResult
 
         info = model.info
-        k0, u_prev = 0, None
+        n_plan = step.n_dec if getattr(step, "carries_plan", False) else 0
+        k0, u_prev, plan = 0, None, None
         if args.resume and _os.path.exists(args.checkpoint):
             target = {"u_prev": jnp.zeros(info.nu, jnp.float32),
-                      "x": jnp.zeros(info.nx, jnp.float32)}
+                      "x": jnp.zeros(info.nx, jnp.float32),
+                      "plan": jnp.zeros(n_plan, jnp.float32),
+                      "plan_ok": jnp.asarray(False)}
             state, k0, _meta = load_checkpoint(args.checkpoint, target)
             x0 = jnp.asarray(state["x"])
             u_prev = jnp.asarray(state["u_prev"])
+            if n_plan:
+                plan = (state["plan"], state["plan_ok"])
         if k0 >= T:
             print(json.dumps({"config": cfg.name, "steps": 0,
                               "resumed_from": k0,
@@ -128,14 +133,20 @@ def main(argv=None):
         k = k0
         while k < T:
             kk = min(args.checkpoint_every, T - k)
-            r = closed_loop(model, step, x0, kk, u_prev0=u_prev)
+            r = closed_loop(model, step, x0, kk, u_prev0=u_prev,
+                            prev_plan=plan)
             r.objs.block_until_ready()
             chunks.append(r)
             x0 = r.xs[-1]
             u_prev = r.vs[-1][info.u_slice]
+            if n_plan:
+                plan = (r.plan, r.plan_ok)
             k += kk
             save_checkpoint(args.checkpoint,
-                            {"u_prev": u_prev, "x": x0}, step=k,
+                            {"u_prev": u_prev, "x": x0,
+                             "plan": (r.plan if n_plan else
+                                      jnp.zeros(0, jnp.float32)),
+                             "plan_ok": r.plan_ok}, step=k,
                             metadata={"config": cfg.name, "T": T})
         res = ClosedLoopResult(
             xs=jnp.concatenate([chunks[0].xs]
@@ -144,7 +155,8 @@ def main(argv=None):
             ys=jnp.concatenate([r.ys for r in chunks]),
             objs=jnp.concatenate([r.objs for r in chunks]),
             found=jnp.concatenate([r.found for r in chunks]),
-            nodes=jnp.concatenate([r.nodes for r in chunks]))
+            nodes=jnp.concatenate([r.nodes for r in chunks]),
+            plan=chunks[-1].plan, plan_ok=chunks[-1].plan_ok)
         wall = time.perf_counter() - t0
         print(json.dumps({
             "config": cfg.name, "steps": T - k0, "resumed_from": k0,

@@ -114,6 +114,15 @@ class BnbSpec:
     branching: str = "pseudocost"   # "pseudocost" (reliability-style
     # scores learned from observed bound degradations, most-fractional
     # fallback while uninitialized) or "most_frac" (round-1 behavior).
+    root_iters: int = 0          # extra-converged root relaxation: the
+    # root is ONE solve whose bound gates the entire search — if it
+    # does not reach feas_tol within qp_iters, every descendant
+    # inherits a −∞ bound and pruning/rel_gap never engage (measured:
+    # battery N=24 TOU root needs ~3000 iters vs per-node 300).
+    # root_iters > qp_iters pre-solves the root for (root_iters −
+    # qp_iters) iterations and stores the iterates as its warm start,
+    # so the wave-1 root solve finishes the remaining qp_iters from
+    # there. 0 → off. Needs warm_start.
 
     def __post_init__(self):
         if self.wave_size > self.capacity:
@@ -212,7 +221,8 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
               global_any_active=None,
               root_device_pred=None,
               init_incumbent=None,
-              reduce_min=None) -> BnbResult:
+              reduce_min=None,
+              init_node=None) -> BnbResult:
     """Shared B&B wave loop. The optional hooks are the multi-device
     seams (SURVEY.md §2b ``dist/collective``):
 
@@ -256,6 +266,36 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
             inc_x=jnp.where(ok0, x0V.astype(state.inc_x.dtype),
                             state.inc_x),
             inc_found=state.inc_found | ok0)
+    if spec.root_iters > spec.qp_iters and spec.warm_start:
+        # pre-converge the root relaxation (see BnbSpec.root_iters)
+        r0 = backend.solve(f, h, backend.lb, backend.ub,
+                           spec.root_iters - spec.qp_iters)
+        state = dataclasses.replace(
+            state,
+            x_pool=state.x_pool.at[0].set(r0.x.astype(state.x_pool.dtype)),
+            z_pool=state.z_pool.at[0].set(r0.z.astype(state.z_pool.dtype)),
+            y_pool=state.y_pool.at[0].set(r0.y.astype(state.y_pool.dtype)))
+    if init_node is not None:
+        # inject a candidate ASSIGNMENT as a fully-fixed pool node (the
+        # closed-loop carried-plan warm start — SURVEY.md §3.3). Unlike
+        # a heuristic incumbent, no extra QP solve happens up front: the
+        # node rides wave 1 next to the root (bound −BIG → top
+        # priority), its relaxation IS the fixed-binary solve, and the
+        # probe turns it into an incumbent if feasible. Zero marginal
+        # cost — wave 1 has W slots and uses two.
+        bv0, okn, xw = init_node
+        state = dataclasses.replace(
+            state,
+            active=state.active.at[1].set(
+                okn if root_device_pred is None
+                else okn & root_device_pred),
+            fix_mask=state.fix_mask.at[1].set(jnp.ones((nb,), bool)),
+            fix_val=state.fix_val.at[1].set(bv0.astype(dtype)))
+        if spec.warm_start and xw is not None:
+            state = dataclasses.replace(
+                state,
+                x_pool=state.x_pool.at[1].set(
+                    xw.astype(state.x_pool.dtype)))
 
     def node_bounds(fm, fv):
         """(W, n) lb/ub for nodes given fixed-binary masks/values."""
@@ -495,9 +535,12 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
 @partial(jax.jit, static_argnames=("spec",))
 def solve_miqp_bnb(admm: BoxQP, qp: DeviceQP, f, h,
                    spec: BnbSpec = BnbSpec(),
-                   init_incumbent=None) -> BnbResult:
+                   init_incumbent=None, init_node=None) -> BnbResult:
     """Solve  min ½VᵀHV + fᵀV  s.t. GV ≤ h, lb ≤ V ≤ ub, V[bidx] ∈ {0,1}
     entirely on device. f, h from ``qp.assemble(x0, W, ...)``.
-    ``init_incumbent``: optional (obj, V, ok) heuristic seed."""
+    ``init_incumbent``: optional (obj, V, ok) heuristic seed.
+    ``init_node``: optional (bvals, ok, x_warm|None) candidate binary
+    assignment injected as a fully-fixed wave-1 node (the closed-loop
+    carried-plan warm start)."""
     return _bnb_loop(CondensedBackend(admm, qp), f, h, spec,
-                     init_incumbent=init_incumbent)
+                     init_incumbent=init_incumbent, init_node=init_node)

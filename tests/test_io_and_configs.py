@@ -152,12 +152,15 @@ def test_closed_loop_checkpoint_resume(tmp_path):
     # run half, checkpoint the carried state, "crash", resume
     half = closed_loop(model, step, x0, T=4)
     p = str(tmp_path / "study.ck")
-    state = {"x": half.xs[-1], "u_prev": half.vs[-1][:1], "k": jnp.asarray(4)}
+    state = {"x": half.xs[-1], "u_prev": half.vs[-1][:1],
+             "plan": half.plan, "plan_ok": half.plan_ok,
+             "k": jnp.asarray(4)}
     save_checkpoint(p, state, step=4, metadata={"cfg": "resume-test"})
     blank = jax.tree_util.tree_map(jnp.zeros_like, state)
     restored, k0, _ = load_checkpoint(p, blank)
     rest = closed_loop(model, step, restored["x"], T=4,
-                       u_prev0=restored["u_prev"])
+                       u_prev0=restored["u_prev"],
+                       prev_plan=(restored["plan"], restored["plan_ok"]))
     np.testing.assert_allclose(np.asarray(rest.xs[1:]),
                                np.asarray(full.xs[5:]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(rest.objs),

@@ -20,9 +20,14 @@ def test_sharded_closed_loop_batch():
     model = switched_double_integrator()
     c = CondensedMpc(model, 6, default_weights())
     qp, admm = c.device_qp(), prepare_admm_mpc(c)
+    # shift_warm off: this test pins bit-level agreement between
+    # sharded and unsharded compilations of the SAME search; the
+    # carried-plan seed amplifies fp reduction-order noise into
+    # different (equal-cost) tie-breaks across partitionings
     step = make_mpc_step(model, qp, admm, method="bnb",
                          bnb_spec=BnbSpec(capacity=64, wave_size=8,
-                                          qp_iters=200, max_waves=24))
+                                          qp_iters=200, max_waves=24),
+                         shift_warm=False)
     B, T = 16, 4
     rng = np.random.default_rng(5)
     x0s = jnp.asarray(rng.normal(size=(B, 2)).astype(np.float32))
