@@ -43,6 +43,8 @@ class MpcController:
         self.rho = rho
         self._soft = None          # (rows, lin_pen, quad_pen)
         self._tree = None          # ScenarioTree (stochastic MPC)
+        self._tree_consensus = False
+        self._scen_mesh = None     # (Mesh, axis) for consensus trees
         self._blocking = None      # groups
         self._terminal = None      # (E_N, f_N)
         self._extra = None         # (A_v, b, B_x, B_w)
@@ -92,13 +94,21 @@ class MpcController:
         self._version += 1
         return self
 
-    def set_scenario_tree(self, tree) -> "MpcController":
+    def set_scenario_tree(self, tree, consensus: bool = False,
+                          scen_mesh=None) -> "MpcController":
         """Stochastic MPC over an ``ops.scenario_tree.ScenarioTree``:
         the joint problem couples S probability-weighted scenario copies
-        with non-anticipativity rows; ``feedback`` then returns the
-        (shared) first-stage input and auto-supplies the tree's own
-        disturbance paths as the forecast. ``v_seq`` in the result is
-        the stacked (S·N, nv) scenario plan."""
+        with non-anticipativity; ``feedback`` then returns the (shared)
+        first-stage input and auto-supplies the tree's own disturbance
+        paths as the forecast. ``v_seq`` in the result is the stacked
+        (S·N, nv) scenario plan.
+
+        ``consensus=False`` (default): one dense joint condensed QP —
+        O((S·N·nv)²) memory, single chip. ``consensus=True``: the
+        device-sharded consensus-ADMM formulation
+        (ops/consensus_tree.py) — per-scenario QPs + group-mean
+        collectives, scaling to trees that exceed one chip's HBM; pass
+        ``scen_mesh=(mesh, axis_name)`` to span a device mesh."""
         g0 = np.asarray(tree.groups)[:, 0]
         if not np.all(g0 == g0[0]):
             raise ValueError(
@@ -107,6 +117,8 @@ class MpcController:
                 "input for feedback to return. Branch at step >= 1 "
                 "(here-and-now control requires a common step-0 decision)")
         self._tree = tree
+        self._tree_consensus = bool(consensus)
+        self._scen_mesh = scen_mesh
         self._version += 1
         return self
 
@@ -145,6 +157,18 @@ class MpcController:
             term = dict(terminal_E=self._terminal[0],
                         terminal_f=self._terminal[1])
         c = CondensedMpc(self.model, self.N, self.weights, **term)
+        if self._tree is not None and self._tree_consensus:
+            from pyhybridcontrol_tpu.ops.consensus_tree import (
+                prepare_tree_consensus)
+
+            self._tqp = prepare_tree_consensus(c, self._tree,
+                                               rho=self.rho)
+            self._cmpc = c
+            self._qp = None
+            self._admm = None
+            self._repair = None
+            self._built_version = self._version
+            return self
         if self._tree is not None:
             from pyhybridcontrol_tpu.ops.scenario_tree import (
                 build_scenario_tree_qp)
@@ -227,6 +251,8 @@ class MpcController:
         if self.solver == "stagewise":
             return self._feedback_stagewise(x0, omega_forecast, price_seq,
                                             u_prev)
+        if self._tree is not None and self._tree_consensus:
+            return self._feedback_tree_consensus(x0, price_seq, u_prev)
         qp, admm = self._qp, self._admm
         if omega_forecast is None and self._tree is not None:
             # the tree's own disturbance paths, stacked scenario-major
@@ -312,6 +338,32 @@ class MpcController:
 
             x0s = jax.device_put(x0s, scenario_sharding(mesh))
         return fn(x0s, W, Pq, up)
+
+    def _feedback_tree_consensus(self, x0, price_seq, u_prev=None):
+        """Consensus-ADMM tree MIQP (ops/consensus_tree.py): per-
+        scenario QPs + non-anticipativity via group-mean collectives,
+        optionally spanning ``scen_mesh``. The tree supplies its own
+        disturbance paths; ``price_seq`` is the single-scenario (N, nv)
+        sequence (UNWEIGHTED — probabilities live in the iteration)."""
+        from pyhybridcontrol_tpu.ops.consensus_tree import (
+            assemble_tree, solve_tree_miqp)
+
+        tqp = self._tqp
+        Pq = (jnp.asarray(price_seq, jnp.float32)
+              if price_seq is not None else None)
+        up = (jnp.asarray(u_prev, jnp.float32)
+              if u_prev is not None else None)
+        f, h = assemble_tree(tqp, x0, price_seq=Pq, u_prev=up)
+        res = solve_tree_miqp(tqp, f, h, self.bnb_spec,
+                              scen_mesh=self._scen_mesh)
+        info = self.model.info
+        V = res.x.reshape(tqp.S, tqp.N, info.nv)
+        v0 = V[0, 0]
+        return StructDict(
+            u=v0[info.u_slice], delta=v0[info.delta_slice],
+            z=v0[info.z_slice],
+            v_seq=V.reshape(tqp.S * tqp.N, info.nv), obj=res.obj,
+            found=res.found, nodes=res.nodes_solved)
 
     def _feedback_stagewise(self, x0, omega_forecast, price_seq,
                             u_prev=None):

@@ -106,12 +106,15 @@ def prepare_admm(G: np.ndarray, H: np.ndarray, *, rho: float = 1.0,
                  q_typical: Optional[np.ndarray] = None,
                  binary_idx=None, rho_eq_scale: float = 10.0,
                  boost_rows=None, boost_scale: float = 30.0,
+                 eq_rows=None,
                  dtype=jnp.float32, precision: str = "highest") -> BoxQP:
     """Host-side (float64) preparation: Ruiz equilibration + K⁻¹.
 
     ``binary_idx``: box rows of those variables get ρ·rho_eq_scale (they
     turn into equalities at fixed-binary B&B nodes — OSQP §5.2 boosts
-    equality rows the same way)."""
+    equality rows the same way). ``eq_rows``: constraint rows that are
+    true equalities (e.g. scenario-consensus selector rows) — same
+    rho_eq_scale boost."""
     from pyhybridcontrol_tpu.ops.scaling import ruiz_equilibrate
 
     G = np.asarray(G, dtype=np.float64)
@@ -126,6 +129,8 @@ def prepare_admm(G: np.ndarray, H: np.ndarray, *, rho: float = 1.0,
     rho_vec = np.full(m + n, float(rho))
     if binary_idx is not None and len(binary_idx):
         rho_vec[m + np.asarray(binary_idx, int)] = rho * rho_eq_scale
+    if eq_rows is not None and len(eq_rows):
+        rho_vec[np.asarray(eq_rows, int)] = rho * rho_eq_scale
     if boost_rows is not None and len(boost_rows):
         # near-equality constraint rows (big-M product rows) get a
         # static stiffness boost — see ops/condense.py z_rows
