@@ -72,8 +72,14 @@ def _timeit_marginal(fn, x, lo=8, hi=16):
         return time.perf_counter() - t0
 
     total(2)                          # compile + warm
-    t_lo, t_hi = total(lo), total(hi)
-    return max((t_hi - t_lo) / (hi - lo), 1e-9)
+    # median-of-3 marginals: a tunnel stall during either leg skews a
+    # single differencing in EITHER direction (a stalled lo-leg
+    # inflates the rate, a stalled hi-leg deflates it — 3-4x swings
+    # measured when the host was busy); the median is robust to one
+    # bad repeat without the optimistic bias of a min
+    ms = sorted(max((total(hi) - total(lo)) / (hi - lo), 1e-9)
+                for _ in range(3))
+    return ms[1]
 
 
 def main():
@@ -166,7 +172,8 @@ def main():
         spec10 = BnbSpec(capacity=256, wave_size=32, max_waves=48,
                          qp_iters=200)
         step10 = make_mpc_step(model, qp10, admm10, method="bnb",
-                               bnb_spec=spec10)
+                               bnb_spec=spec10,
+                               admm_probe=prepare_admm_mpc(c10, rho=10.0))
         T = 20
         runner = jax.jit(
             lambda x0: closed_loop(model, step10, x0, T))
@@ -188,6 +195,7 @@ def main():
         mpwa = pwa_spring_mld(on_off=True)
         cpw = CondensedMpc(mpwa, 20, pwa_weights())
         qpw, admw = cpw.device_qp(), prepare_admm_mpc(cpw)
+        admw_p = prepare_admm_mpc(cpw, rho=10.0)
         rspec = prepare_repair(mpwa, pwa_weights())
         spec_pwa = BnbSpec(capacity=1024, wave_size=64, max_waves=16,
                            qp_iters=200, gap=1e-3)
@@ -198,7 +206,8 @@ def main():
             seed = root_repair_incumbent(admw, qpw, rspec, x0, f_, h_,
                                          qp_iters=400)
             return solve_miqp_bnb(admw, qpw, f_, h_, spec_pwa,
-                                  init_incumbent=seed)
+                                  init_incumbent=seed,
+                                  admm_probe=admw_p)
         dt, r = _timeit(fb, jnp.asarray([1.5, 0.0]), reps=2)
         details["config2_pwa_actuator"] = dict(
             N=20, n_binary=qpw.n_binary, ms_per_solve=round(1e3 * dt, 2),
@@ -230,7 +239,8 @@ def main():
                  ).astype(np.float32)
         prices = dewh_energy_price_seq(
             np.full(T3 + 24, 0.15), p3, nv=m3.info.nv).astype(np.float32)
-        step3 = make_mpc_step(m3, qp3, admm3, method="bnb", bnb_spec=spec3)
+        step3 = make_mpc_step(m3, qp3, admm3, method="bnb", bnb_spec=spec3,
+                              admm_probe=prepare_admm_mpc(c3, rho=10.0))
         run3 = jax.jit(lambda x0: closed_loop(
             m3, step3, x0, T3, omega_traj=jnp.asarray(draws),
             price_traj=jnp.asarray(prices)))

@@ -143,6 +143,7 @@ class MpcController:
             self._sw = prepare_stagewise(self.model, self.N, self.weights,
                                          rho=self.rho, soft=self._soft)
             self._cmpc = None
+            self._admm_probe = None
             self._built_version = self._version
             return self
         if self._tree is not None and (
@@ -166,6 +167,7 @@ class MpcController:
             self._cmpc = c
             self._qp = None
             self._admm = None
+            self._admm_probe = None
             self._repair = None
             self._built_version = self._version
             return self
@@ -185,6 +187,11 @@ class MpcController:
         self._cmpc = c
         self._qp = c.device_qp()
         self._admm = prepare_admm_mpc(c, rho=self.rho)
+        # stiff-rho prep for dive probes: fixed-binary (implied-
+        # equality) solves converge ~6x faster at rho*10 while relaxed
+        # nodes are rho-insensitive (solver/bnb.py CondensedBackend)
+        self._admm_probe = (prepare_admm_mpc(c, rho=self.rho * 10.0)
+                            if self.solver == "bnb" else None)
         # rollout-repair incumbent heuristic: valid only when the
         # decision frame is the full per-step v (optionally + slacks)
         self._repair = None
@@ -226,6 +233,11 @@ class MpcController:
     def admm(self):
         self.build()
         return self._admm
+
+    @property
+    def admm_probe(self):
+        self.build()
+        return self._admm_probe
 
     # -- feedback ----------------------------------------------------------
     def feedback(self, x0, omega_forecast=None, price_seq=None,
@@ -283,7 +295,8 @@ class MpcController:
                     qp_iters=self.bnb_spec.qp_iters, layout=layout,
                     feas_tol=self.bnb_spec.feas_tol)
             res = solve_miqp_bnb(admm, qp, f, h, self.bnb_spec,
-                                 init_incumbent=seed)
+                                 init_incumbent=seed,
+                                 admm_probe=self._admm_probe)
             x, obj, found = res.x, res.obj, res.found
             nodes = res.nodes_solved
         elif self.solver == "enumerate":

@@ -47,7 +47,8 @@ def make_mpc_step(model: MldModel, qp: DeviceQP, admm: BoxQP,
                   method: str = "bnb",
                   bnb_spec: Optional[BnbSpec] = None,
                   qp_iters: int = 100,
-                  repair=None, shift_warm: bool = True) -> Callable:
+                  repair=None, shift_warm: bool = True,
+                  admm_probe=None) -> Callable:
     """Build the single-control-step function
     ``step(x, W, price_seq, u_prev[, prev]) ->
     (v_seq (N,nv), obj, found, nodes, V)``.
@@ -93,7 +94,8 @@ def make_mpc_step(model: MldModel, qp: DeviceQP, admm: BoxQP,
                 init_node = (bvals, okp, Vp)
             res = solve_miqp_bnb(admm, qp, f, h, spec,
                                  init_incumbent=seed,
-                                 init_node=init_node)
+                                 init_node=init_node,
+                                 admm_probe=admm_probe)
             v_seq = qp.full_v(res.x)
             return v_seq, res.obj, res.found, res.nodes_solved, res.x
         elif method == "enumerate":

@@ -36,7 +36,8 @@ from pyhybridcontrol_tpu.solver.bnb import (BnbResult, BnbSpec,
 def solve_miqp_bnb_sharded(admm: BoxQP, qp: DeviceQP, f, h,
                            spec: BnbSpec, mesh: Mesh,
                            axis: str = "pool",
-                           init_incumbent=None) -> BnbResult:
+                           init_incumbent=None,
+                           admm_probe=None) -> BnbResult:
     """Solve one MIQP with its B&B pool sharded over ``mesh[axis]``.
 
     ``spec.capacity``/``wave_size`` are per-device. Problem data
@@ -76,7 +77,7 @@ def solve_miqp_bnb_sharded(admm: BoxQP, qp: DeviceQP, f, h,
     def shard_body(f_, h_, seed):
         dev = jax.lax.axis_index(axis)
         res = _bnb_loop(
-            CondensedBackend(admm, qp), f_, h_, spec,
+            CondensedBackend(admm, qp, admm_probe), f_, h_, spec,
             root_active=True,   # mask below: only device 0 starts the root
             exchange_children=exchange_children,
             reduce_incumbent=reduce_incumbent,

@@ -80,7 +80,8 @@ def main(argv=None):
 
     step = make_mpc_step(model, ctrl.device_qp, ctrl.admm,
                          method=args.solver, bnb_spec=cfg.bnb,
-                         qp_iters=cfg.bnb.qp_iters, repair=ctrl.repair)
+                         qp_iters=cfg.bnb.qp_iters, repair=ctrl.repair,
+                         admm_probe=ctrl.admm_probe)
 
     rng = np.random.default_rng(0)
     nx = model.info.nx

@@ -30,6 +30,8 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -46,10 +48,20 @@ class CondensedBackend:
     """Default QP backend: condensed DeviceQP + dense ADMM. The B&B
     loop only touches this interface, so alternative solvers (the
     stagewise O(N) path — solver/bnb_stagewise.py) plug in the same
-    wave loop."""
+    wave loop.
+
+    ``admm_probe``: optional second ADMM prep with a stiffer ρ used for
+    DIVE-PROBE solves only. Fully-fixed-binary problems are the
+    degenerate implied-equality case (CLAUDE.md): at ρ=1 they plateau
+    just above feas_tol for thousands of iterations, at ρ=10 they
+    converge in ~200 (measured, dewh UC: 1.5e-5 at 200 vs 1.7e-3 at
+    400) — while relaxed-node solves are ρ-insensitive. One extra n²
+    K⁻¹; the scaled frame (Ruiz D/E) is identical, so warm starts pass
+    between the two preps unchanged."""
 
     admm: BoxQP
     qp: DeviceQP
+    admm_probe: Optional[BoxQP] = None
 
     @property
     def n(self):
@@ -73,6 +85,10 @@ class CondensedBackend:
 
     def solve(self, f, h, lb, ub, iters, warm=None):
         return admm_solve(self.admm, f, h, lb, ub, iters=iters, warm=warm)
+
+    def solve_probe(self, f, h, lb, ub, iters, warm=None):
+        return admm_solve(self.admm_probe or self.admm, f, h, lb, ub,
+                          iters=iters, warm=warm)
 
     def broadcast_data(self, f, h, W):
         return (jnp.broadcast_to(f, (W,) + f.shape),
@@ -373,9 +389,10 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
         lb_p, ub_p = node_bounds(ones, pv)
 
         def do_probe(_):
-            probe = backend.solve(fb, hb, lb_p, ub_p,
-                                  spec.probe_iters or spec.qp_iters,
-                                  warm=(relax.x, relax.z, relax.y))
+            probe_solve = getattr(backend, "solve_probe", backend.solve)
+            probe = probe_solve(fb, hb, lb_p, ub_p,
+                                spec.probe_iters or spec.qp_iters,
+                                warm=(relax.x, relax.z, relax.y))
             ok = (probe.r_prim_rel < spec.feas_tol) & valid
             return jnp.where(ok, probe.obj, BIG), probe.x, ok
 
@@ -535,12 +552,15 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
 @partial(jax.jit, static_argnames=("spec",))
 def solve_miqp_bnb(admm: BoxQP, qp: DeviceQP, f, h,
                    spec: BnbSpec = BnbSpec(),
-                   init_incumbent=None, init_node=None) -> BnbResult:
+                   init_incumbent=None, init_node=None,
+                   admm_probe: Optional[BoxQP] = None) -> BnbResult:
     """Solve  min ½VᵀHV + fᵀV  s.t. GV ≤ h, lb ≤ V ≤ ub, V[bidx] ∈ {0,1}
     entirely on device. f, h from ``qp.assemble(x0, W, ...)``.
     ``init_incumbent``: optional (obj, V, ok) heuristic seed.
     ``init_node``: optional (bvals, ok, x_warm|None) candidate binary
     assignment injected as a fully-fixed wave-1 node (the closed-loop
-    carried-plan warm start)."""
-    return _bnb_loop(CondensedBackend(admm, qp), f, h, spec,
+    carried-plan warm start).
+    ``admm_probe``: optional stiff-ρ ADMM prep for dive probes (see
+    CondensedBackend — ~6× fewer iterations on fixed-binary leaves)."""
+    return _bnb_loop(CondensedBackend(admm, qp, admm_probe), f, h, spec,
                      init_incumbent=init_incumbent, init_node=init_node)

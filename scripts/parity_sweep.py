@@ -188,8 +188,12 @@ def main():
             if fam.get("transform") is not None:
                 c = fam["transform"](c)
             qp, admm = c.device_qp(), prepare_admm_mpc(c)
+            # rollout repair is full-v-frame-only: binary-state models
+            # (nxb>0) append aux columns, so the controller gates it
+            # (control/mpc.py) and the sweep must too
             rspec = (prepare_repair(model, w)
-                     if fam.get("repair", True) else None)
+                     if fam.get("repair", True) and model.info.nxb == 0
+                     else None)
         price = fam.get("price")
         rows = []
         for t in range(n_inst):

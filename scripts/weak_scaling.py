@@ -81,7 +81,15 @@ def main():
     from pyhybridcontrol_tpu.solver.bnb import BnbSpec, solve_miqp_bnb
 
     ndev = len(jax.devices())
-    out = {"devices": str(jax.devices()[0]), "n_devices": ndev}
+    virtual = "cpu" in str(jax.devices()[0]).lower()
+    out = {"devices": str(jax.devices()[0]), "n_devices": ndev,
+           "virtual_devices": virtual,
+           "note": ("VIRTUAL cpu mesh: all devices share one host's "
+                    "cores, so weak efficiency saturates at "
+                    "1/min(P, cores/threads-per-instance) — machinery "
+                    "validation only; rerun on a pod for the >=80% "
+                    "target" if virtual else
+                    "real device mesh measurement")}
 
     # ---- axis 1: weak scaling over independent scenario MIQPs --------
     model_b = battery_model()
