@@ -142,6 +142,10 @@ class MpcController:
                     "transforms and scenario trees")
             self._sw = prepare_stagewise(self.model, self.N, self.weights,
                                          rho=self.rho, soft=self._soft)
+            # stiff-rho prep for dive probes (see solver/bnb.py)
+            self._sw_probe = prepare_stagewise(
+                self.model, self.N, self.weights, rho=self.rho * 10.0,
+                soft=self._soft)
             self._cmpc = None
             self._admm_probe = None
             self._built_version = self._version
@@ -164,6 +168,8 @@ class MpcController:
 
             self._tqp = prepare_tree_consensus(c, self._tree,
                                                rho=self.rho)
+            self._tqp_probe = prepare_tree_consensus(
+                c, self._tree, rho=self.rho * 10.0)
             self._cmpc = c
             self._qp = None
             self._admm = None
@@ -368,7 +374,8 @@ class MpcController:
               if u_prev is not None else None)
         f, h = assemble_tree(tqp, x0, price_seq=Pq, u_prev=up)
         res = solve_tree_miqp(tqp, f, h, self.bnb_spec,
-                              scen_mesh=self._scen_mesh)
+                              scen_mesh=self._scen_mesh,
+                              tqp_probe=self._tqp_probe)
         info = self.model.info
         V = res.x.reshape(tqp.S, tqp.N, info.nv)
         v0 = V[0, 0]
@@ -391,7 +398,8 @@ class MpcController:
         up = (jnp.asarray(u_prev, jnp.float32)
               if u_prev is not None else None)
         q, l, u = assemble_stagewise(sw, x0, W, Pq, u_prev=up)
-        res = solve_miqp_bnb_stagewise(sw, q, l, u, self.bnb_spec)
+        res = solve_miqp_bnb_stagewise(sw, q, l, u, self.bnb_spec,
+                                       sw_probe=self._sw_probe)
         xi = res.x.reshape(sw.N, sw.b)
         v_seq = xi[:, : sw.nv]
         info = self.model.info

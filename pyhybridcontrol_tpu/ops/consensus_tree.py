@@ -295,6 +295,11 @@ class TreeBackend:
     tqp: TreeConsensusQP
     scen_mesh: object = dataclasses.field(
         default=None, metadata=dict(static=True))
+    # stiff-rho prep for dive probes: fully-fixed consensus leaves are
+    # the implied-equality case over S coupled scenarios — at rho=1
+    # they certify at ~8000 iterations, stiff rho collapses that (see
+    # solver/bnb.py CondensedBackend.admm_probe)
+    tqp_probe: object = dataclasses.field(default=None)
 
     @property
     def n(self):
@@ -338,6 +343,12 @@ class TreeBackend:
             z=res.z.reshape(batch + (self.warm_size,)),
             y=res.y.reshape(batch + (self.warm_size,)))
 
+    def solve_probe(self, f, h, lb, ub, iters, warm=None):
+        if self.tqp_probe is None:
+            return self.solve(f, h, lb, ub, iters, warm=warm)
+        return TreeBackend(self.tqp_probe, self.scen_mesh).solve(
+            f, h, lb, ub, iters, warm=warm)
+
     def broadcast_data(self, f, h, W):
         return (jnp.broadcast_to(f, (W,) + f.shape),
                 jnp.broadcast_to(h, (W,) + h.shape))
@@ -347,7 +358,7 @@ class TreeBackend:
 def solve_tree_miqp(tqp: TreeConsensusQP, f, h,
                     spec: BnbSpec = BnbSpec(),
                     init_incumbent=None,
-                    scen_mesh=None) -> BnbResult:
+                    scen_mesh=None, tqp_probe=None) -> BnbResult:
     """B&B over the consensus-tree MIQP. (f, h) from ``assemble_tree``
     (shapes (S, nV) / (S, m̄g) — flattened internally). Returns
     BnbResult with x the flat (S·nV) joint plan (reshape to (S, nV)).
@@ -355,6 +366,6 @@ def solve_tree_miqp(tqp: TreeConsensusQP, f, h,
     ``scen_mesh``: optional (Mesh, axis_name) sharding the scenario
     axis of the (wave, S, …) node batches across the mesh — ONE joint
     tree MIQP spanning all devices."""
-    return _bnb_loop(TreeBackend(tqp, scen_mesh),
+    return _bnb_loop(TreeBackend(tqp, scen_mesh, tqp_probe),
                      f.reshape(-1), h.reshape(-1), spec,
                      init_incumbent=init_incumbent)

@@ -10,10 +10,10 @@ the `scen` mesh axis; S is a batch dimension, so HBM grows linearly
 and the tree can exceed one chip.
 
 Probe note: fully-fixed consensus leaves are the degenerate implied-
-equality case over 64 coupled scenarios — they certify at ~8000 ADMM
-iterations (measured; CLAUDE.md numerics rules), so probe_iters is
-large and probes are gated. This is ONE top-level MIQP per control
-step, not a per-node cost.
+equality case over 64 coupled scenarios — at ρ=1 they certify at
+~8000 ADMM iterations; the stiff-ρ probe prep (ρ=10, see solver/bnb
+CondensedBackend.admm_probe) collapses that to ~1000-1500 (measured
+3.5e-4 at 1000).
 
 Run: python scripts/tree_scaleout.py [--devices 8] [--scenarios 64]
 """
@@ -82,6 +82,7 @@ def main():
     tree = ScenarioTree.from_branching(paths, branch_steps=steps)
     c = CondensedMpc(model, N, default_weights())
     tqp = prepare_tree_consensus(c, tree)
+    tqp_probe = prepare_tree_consensus(c, tree, rho=10.0)
     x0 = jnp.asarray([2.0, 0.0], jnp.float32)
     f, h = assemble_tree(tqp, x0)
     mesh = make_mesh([("scen", len(jax.devices()))])
@@ -97,10 +98,11 @@ def main():
           f"reps={len(tqp.binary_reps)} of {S * N}")
 
     spec = BnbSpec(capacity=128, wave_size=8, max_waves=args.waves,
-                   qp_iters=600, probe_iters=8000, probe_patience=1,
+                   qp_iters=600, probe_iters=1500, probe_patience=1,
                    root_iters=1500)
     t0 = time.perf_counter()
-    r = solve_tree_miqp(tqp, f, h, spec, scen_mesh=(mesh, "scen"))
+    r = solve_tree_miqp(tqp, f, h, spec, scen_mesh=(mesh, "scen"),
+                        tqp_probe=tqp_probe)
     r.obj.block_until_ready()
     wall = time.perf_counter() - t0
     V = np.asarray(r.x).reshape(S, N, -1)

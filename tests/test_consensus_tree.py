@@ -116,12 +116,14 @@ def test_consensus_sharded_mesh(tree_prob):
     tree = ScenarioTree.from_branching(paths, branch_steps=(1, 4))
     c = CondensedMpc(model, N, default_weights())
     tqp = prepare_tree_consensus(c, tree)
+    tqp_probe = prepare_tree_consensus(c, tree, rho=10.0)
     f, h = assemble_tree(tqp, jnp.asarray([2.0, 0.0], jnp.float32))
     spec = BnbSpec(capacity=128, wave_size=16, max_waves=12,
-                   qp_iters=600, probe_iters=4000, probe_patience=2)
-    plain = solve_tree_miqp(tqp, f, h, spec)
+                   qp_iters=600, probe_iters=1500, probe_patience=2)
+    plain = solve_tree_miqp(tqp, f, h, spec, tqp_probe=tqp_probe)
     mesh = make_mesh([("scen", 8)])
-    sharded = solve_tree_miqp(tqp, f, h, spec, scen_mesh=(mesh, "scen"))
+    sharded = solve_tree_miqp(tqp, f, h, spec, scen_mesh=(mesh, "scen"),
+                              tqp_probe=tqp_probe)
     assert bool(plain.found) and bool(sharded.found)
     np.testing.assert_allclose(float(sharded.obj), float(plain.obj),
                                rtol=5e-3, atol=5e-3)
