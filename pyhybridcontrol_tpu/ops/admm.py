@@ -57,6 +57,7 @@ class BoxQP:
     P: jnp.ndarray          # (n, n) scaled quadratic  P̂ = c·DPD
     A: jnp.ndarray          # (m̄, n) scaled stacked constraints  Â = E[A]D
     Kinv: jnp.ndarray       # (n, n) inverse of P̂ + σI + ρ ÂᵀÂ
+    Pinv: jnp.ndarray       # (n, n) inverse of P̂ (certified dual bounds)
     D: jnp.ndarray          # (n,) column scaling, x = D x̂
     E: jnp.ndarray          # (m̄,) row scaling over [G; I]
     cost_scale: jnp.ndarray  # () scalar c
@@ -137,10 +138,16 @@ def prepare_admm(G: np.ndarray, H: np.ndarray, *, rho: float = 1.0,
         rho_vec[np.asarray(boost_rows, int)] *= boost_scale
     K = Ph + sigma * np.eye(n) + (Ah.T * rho_vec[None, :]) @ Ah
     Kinv = np.linalg.inv(K)
+    # P̂⁻¹ for certified dual bounds (admm_dual_bound). P̂ carries the
+    # condensation's reg·I ridge, so it is invertible; near-null
+    # curvature directions are handled by the box-dual residual
+    # cancellation in the bound, not by the inverse itself.
+    Pinv = np.linalg.inv(Ph)
     return BoxQP(
         P=jnp.asarray(Ph, dtype),
         A=jnp.asarray(Ah, dtype),
         Kinv=jnp.asarray(Kinv, dtype),
+        Pinv=jnp.asarray(Pinv, dtype),
         D=jnp.asarray(D, dtype),
         E=jnp.asarray(E, dtype),
         cost_scale=jnp.asarray(c, dtype),
@@ -251,6 +258,55 @@ def admm_solve(spec: BoxQP, q, h, lb, ub, iters: int = 100,
     return AdmmResult(x=x_orig, obj=obj, r_prim=r_prim,
                       r_prim_rel=r_rel, r_dual=r_dual,
                       infeas_cert=infeas_cert, y=y, z=z)
+
+
+def admm_dual_bound(spec: BoxQP, q, h, lb, ub, res: AdmmResult):
+    """CERTIFIED lower bound on the box-QP optimum from the final ADMM
+    iterate — valid for ANY dual vector, converged or not.
+
+    For  min ½xᵀPx + qᵀx  s.t. l ≤ Ax ≤ u  the dual function at any y
+    is  g(y) = −½wᵀP⁻¹w − S(y),  w = q + Aᵀy,
+    S(y) = Σ u_i[y_i]₊ + l_i[y_i]₋  — a lower bound by weak duality.
+    Raw ADMM duals leave a residual  d = Px + q + Aᵀy  whose
+    near-nullspace (reg-ridge) components explode wᵀP⁻¹w, so the BOX
+    rows' duals (diagonal block of Â) absorb d exactly:
+    ŷ_box ← ŷ_box − d/(E_box·D). After clamping to the support of the
+    infinite bounds ([y]₊ must vanish where u=∞, [y]₋ where l=−∞) the
+    leftover is only what the clamp re-introduces.
+
+    Replaces "trust relax.obj when the residual is small" in the B&B:
+    relax.obj of a primal-feasible iterate can overestimate the true
+    relaxation optimum by ~1e-2 (battery leaves, measured), which with
+    a 1e-4 prune gap silently prunes optimal subtrees. g(y) can never
+    prune one. Costs three extra matmuls per node (≈1.5 iterations).
+
+    Returns the bound in ORIGINAL units, same leading batch as res.obj.
+    """
+    prec = spec.precision
+    c = spec.cost_scale
+    qh = c * spec.D * q
+    l, u = _bounds(spec, h, lb, ub)
+    m = spec.m_ineq
+    xh = res.x / spec.D
+    y = res.y
+
+    def mm(a, b):
+        return jnp.matmul(a, b, precision=prec)
+
+    d = mm(xh, spec.P.T) + qh + mm(y, spec.A)      # scaled dual residual
+    box_diag = spec.E[m:] * spec.D                 # Â box block (diagonal)
+    y = y.at[..., m:].add(-d / box_diag)
+    fin_u = u < 0.9 * BIG
+    fin_l = l > -0.9 * BIG
+    yp = jnp.maximum(y, 0.0)
+    yn = jnp.minimum(y, 0.0)
+    y = (jnp.where(fin_u, yp, 0.0) + jnp.where(fin_l, yn, 0.0))
+    w = qh + mm(y, spec.A)
+    S = (jnp.sum(jnp.where(fin_u, u * jnp.maximum(y, 0.0), 0.0), axis=-1)
+         + jnp.sum(jnp.where(fin_l, l * jnp.minimum(y, 0.0), 0.0),
+                   axis=-1))
+    quad = jnp.sum(w * mm(w, spec.Pinv.T), axis=-1)
+    return (-0.5 * quad - S) / c
 
 
 def admm_solve_batch(spec: BoxQP, q, h, lb, ub, iters: int = 100):

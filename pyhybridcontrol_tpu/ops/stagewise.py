@@ -84,6 +84,10 @@ class StagewiseQP:
     L: jnp.ndarray           # (N, b, b), L[0] unused
     Uinv: jnp.ndarray        # (N, b, b)
     C: jnp.ndarray           # (N, b, b), C[N-1] unused
+    # block LU of P itself (certified dual bounds)
+    LP: jnp.ndarray          # (N, b, b)
+    UinvP: jnp.ndarray       # (N, b, b)
+    CP: jnp.ndarray          # (N, b, b)
     # bounds templates
     lb_xi: jnp.ndarray       # (N, b) variable box
     ub_xi: jnp.ndarray       # (N, b)
@@ -255,21 +259,29 @@ def prepare_stagewise(model: MldModel, N: int,
     # is DATA (enters l/u), so M does not contribute to K at k=0. ✓
 
     # block LU: U_0 = K_00; L_k = K_{k,k−1} U_{k−1}⁻¹; U_k = K_kk − L_k K_{k−1,k}
-    L = np.zeros((N, b, b))
-    Uinv = np.zeros((N, b, b))
-    C = np.zeros((N, b, b))
-    U_prev = None
-    K_off_T = np.transpose(K_off, (0, 2, 1))   # K_{k−1,k} = (K_{k,k−1})ᵀ
-    for k in range(N):
-        if k == 0:
-            U = K_diag[0]
-        else:
-            L[k] = K_off[k] @ np.linalg.inv(U_prev)
-            U = K_diag[k] - L[k] @ K_off_T[k]
-        Uinv[k] = np.linalg.inv(U)
-        U_prev = U
-    for k in range(N - 1):
-        C[k] = Uinv[k] @ K_off_T[k + 1]        # coupler for back-subst
+    def block_lu(diag, off):
+        L = np.zeros((N, b, b))
+        Uinv = np.zeros((N, b, b))
+        C = np.zeros((N, b, b))
+        U_prev = None
+        off_T = np.transpose(off, (0, 2, 1))   # M_{k−1,k} = (M_{k,k−1})ᵀ
+        for k in range(N):
+            if k == 0:
+                U = diag[0]
+            else:
+                L[k] = off[k] @ np.linalg.inv(U_prev)
+                U = diag[k] - L[k] @ off_T[k]
+            Uinv[k] = np.linalg.inv(U)
+            U_prev = U
+        for k in range(N - 1):
+            C[k] = Uinv[k] @ off_T[k + 1]      # coupler for back-subst
+        return L, Uinv, C
+
+    L, Uinv, C = block_lu(K_diag, K_off)
+    # block LU of the OBJECTIVE P itself (reg ridge keeps it PD):
+    # certified dual bounds need a P⁻¹-apply (see solver/bnb.py
+    # node_bound), and P block-tridiagonal → same two-scan solve
+    LP, UinvP, CP = block_lu(P_diag, P_off)
 
     # variable boxes
     lb_xi = np.full((N, b), -BIG)
@@ -281,6 +293,7 @@ def prepare_stagewise(model: MldModel, N: int,
     return StagewiseQP(
         Bv=as_(Bv), A_dyn=as_(m.A), E=as_(m.E), Fv=as_(Fv),
         P_diag=as_(P_diag), P_off=as_(P_off), q0=as_(q0),
+        LP=as_(LP), UinvP=as_(UinvP), CP=as_(CP),
         Rdu2=as_(Rdu2), M_vy=as_(M_vy), M_xy=as_(M_xy),
         Cy=as_(m.C), D4y=as_(m.D4),
         soft_lin=as_(soft_lin), soft_quad=as_(soft_quad),
@@ -348,8 +361,11 @@ def _apply_P(sw: StagewiseQP, x):
                            precision="highest")
 
 
-def _solve_K(sw: StagewiseQP, r):
-    """K⁻¹ r via the block LU sweeps. r: (…, N, b) → (…, N, b)."""
+def _solve_K(sw: StagewiseQP, r, factors=None):
+    """K⁻¹ r via the block LU sweeps. r: (…, N, b) → (…, N, b).
+    ``factors``: optional (L, Uinv, C) triple — pass the P factors
+    (sw.LP, sw.UinvP, sw.CP) to apply P⁻¹ instead."""
+    Lf, Uf, Cf = factors if factors is not None else (sw.L, sw.Uinv, sw.C)
     r_t = jnp.moveaxis(r, -2, 0)                  # (N, …, b)
 
     def fwd(carry, inp):
@@ -359,7 +375,7 @@ def _solve_K(sw: StagewiseQP, r):
         return yk, yk
 
     y0 = jnp.zeros_like(r_t[0])
-    _, ys = jax.lax.scan(fwd, y0, (r_t, sw.L))
+    _, ys = jax.lax.scan(fwd, y0, (r_t, Lf))
 
     def bwd(carry, inp):
         yk, Uk, Ck = inp
@@ -369,8 +385,38 @@ def _solve_K(sw: StagewiseQP, r):
         return xk, xk
 
     x0 = jnp.zeros_like(r_t[0])
-    _, xs = jax.lax.scan(bwd, x0, (ys, sw.Uinv, sw.C), reverse=True)
+    _, xs = jax.lax.scan(bwd, x0, (ys, Uf, Cf), reverse=True)
     return jnp.moveaxis(xs, 0, -2)
+
+
+def stagewise_dual_bound(sw: StagewiseQP, q, l, u, res: AdmmResult):
+    """Certified lower bound from the final iterate (weak duality) —
+    the stagewise analogue of ops/admm.py ``admm_dual_bound``; see
+    there for the derivation and why relax.obj alone is unsound for
+    B&B pruning. P⁻¹ applies via the block LU of P itself (sw.LP/
+    UinvP/CP — two scans, O(N·b²)). Soft rows' duals are dropped
+    (their penalty is ≥ 0, so omitting it keeps the bound valid).
+    Returns the bound with the same leading batch as res.obj."""
+    xi, y = res.x, res.y
+    d = _apply_P(sw, xi) + q + _apply_AT(sw, y)
+    nbox = sw.nx + sw.nc
+    y = y.at[..., :, nbox:].add(-d)              # box block of A = I
+    fin_u = u < 0.9 * BIG
+    fin_l = l > -0.9 * BIG
+    if sw.has_soft:
+        soft = (sw.soft_lin > 0) | (sw.soft_quad > 0)
+        fin_u = fin_u & ~soft
+        fin_l = fin_l & ~soft
+    yp = jnp.maximum(y, 0.0)
+    yn = jnp.minimum(y, 0.0)
+    y = jnp.where(fin_u, yp, 0.0) + jnp.where(fin_l, yn, 0.0)
+    w = q + _apply_AT(sw, y)
+    S = (jnp.sum(jnp.where(fin_u, u * jnp.maximum(y, 0.0), 0.0),
+                 axis=(-2, -1))
+         + jnp.sum(jnp.where(fin_l, l * jnp.minimum(y, 0.0), 0.0),
+                   axis=(-2, -1)))
+    Pw = _solve_K(sw, w, factors=(sw.LP, sw.UinvP, sw.CP))
+    return -0.5 * jnp.sum(w * Pw, axis=(-2, -1)) - S
 
 
 def assemble_stagewise(sw: StagewiseQP, x0, W=None, price_seq=None,
@@ -385,26 +431,32 @@ def assemble_stagewise(sw: StagewiseQP, x0, W=None, price_seq=None,
         q = q.at[..., :, :nv].add(price_seq)
     if u_prev is not None and sw.Rdu2.shape[0] > 0:
         nu = sw.Rdu2.shape[0]
-        q = q.at[..., 0, :nu].add(-(sw.Rdu2 @ u_prev))
+        q = q.at[..., 0, :nu].add(
+            -jnp.matmul(u_prev, sw.Rdu2.T, precision="highest"))
     # y-output cost data terms: y_k's data part is D4 ω_k (+ C x_0 at
     # k=0, where x_0 is measurement not decision)
-    ydat0 = sw.Cy @ x0                               # (ny,)
+    ydat0 = jnp.matmul(x0, sw.Cy.T, precision="highest")   # (ny,)
     if W is not None and sw.D4y.shape[1] > 0:
-        yw = W @ sw.D4y.T                            # (N, ny)
+        yw = jnp.matmul(W, sw.D4y.T, precision="highest")   # (N, ny)
         ydat0 = ydat0 + yw[0]
         q = q.at[..., 1:, :nv].add(
-            jnp.einsum("vy,ky->kv", sw.M_vy, yw[1:]))
+            jnp.einsum("vy,ky->kv", sw.M_vy, yw[1:],
+                       precision="highest"))
         q = q.at[..., :-1, nv:].add(
-            jnp.einsum("xy,ky->kx", sw.M_xy, yw[1:]))
-    q = q.at[..., 0, :nv].add(sw.M_vy @ ydat0)
+            jnp.einsum("xy,ky->kx", sw.M_xy, yw[1:],
+                       precision="highest"))
+    q = q.at[..., 0, :nv].add(
+        jnp.matmul(ydat0, sw.M_vy.T, precision="highest"))
     dyn_rhs = jnp.broadcast_to(sw.b5, (N, nx))
     ineq_ub = jnp.broadcast_to(sw.f5, (N, nc))
     if W is not None and sw.B4.shape[1] > 0:
-        dyn_rhs = dyn_rhs + W @ sw.B4.T
-        ineq_ub = ineq_ub - W @ sw.F4.T
+        dyn_rhs = dyn_rhs + jnp.matmul(W, sw.B4.T, precision="highest")
+        ineq_ub = ineq_ub - jnp.matmul(W, sw.F4.T, precision="highest")
     # k=0: x_0 is data → move its A/E terms to the bounds
-    dyn_rhs = dyn_rhs.at[0].add(sw.A_dyn @ x0)
-    ineq_ub = ineq_ub.at[0].add(-(sw.E @ x0))
+    dyn_rhs = dyn_rhs.at[0].add(
+        jnp.matmul(x0, sw.A_dyn.T, precision="highest"))
+    ineq_ub = ineq_ub.at[0].add(
+        -jnp.matmul(x0, sw.E.T, precision="highest"))
     l = jnp.concatenate([dyn_rhs, jnp.full_like(ineq_ub, -BIG), sw.lb_xi],
                         axis=-1)
     u = jnp.concatenate([dyn_rhs, ineq_ub, sw.ub_xi], axis=-1)

@@ -54,10 +54,16 @@ class CondensedBackend:
     DIVE-PROBE solves only. Fully-fixed-binary problems are the
     degenerate implied-equality case (CLAUDE.md): at ρ=1 they plateau
     just above feas_tol for thousands of iterations, at ρ=10 they
-    converge in ~200 (measured, dewh UC: 1.5e-5 at 200 vs 1.7e-3 at
-    400) — while relaxed-node solves are ρ-insensitive. One extra n²
-    K⁻¹; the scaled frame (Ruiz D/E) is identical, so warm starts pass
-    between the two preps unchanged."""
+    reach primal feasibility in ~200 (measured, dewh UC: 1.5e-5 at 200
+    vs 1.7e-3 at 400) — while relaxed-node solves are ρ-insensitive.
+    Stiff ρ alone is NOT enough: it parks at primal-feasible points
+    whose OBJECTIVE is still far off (battery leaves: feasible to 7e-7
+    with obj +4.9e-2 vs the exact leaf optimum), and the incumbent
+    gate only checks r_prim. Probes therefore run TWO PHASES on the
+    same iteration budget — stiff-ρ for feasibility, then base-ρ
+    warm-chained for objective descent. One extra n² K⁻¹; the scaled
+    frame (Ruiz D/E) is identical, so warm starts pass between the
+    preps unchanged."""
 
     admm: BoxQP
     qp: DeviceQP
@@ -87,8 +93,19 @@ class CondensedBackend:
         return admm_solve(self.admm, f, h, lb, ub, iters=iters, warm=warm)
 
     def solve_probe(self, f, h, lb, ub, iters, warm=None):
-        return admm_solve(self.admm_probe or self.admm, f, h, lb, ub,
-                          iters=iters, warm=warm)
+        if self.admm_probe is None:
+            return admm_solve(self.admm, f, h, lb, ub, iters=iters,
+                              warm=warm)
+        k = iters // 2
+        r1 = admm_solve(self.admm_probe, f, h, lb, ub, iters=k,
+                        warm=warm)
+        return admm_solve(self.admm, f, h, lb, ub, iters=iters - k,
+                          warm=(r1.x, r1.z, r1.y))
+
+    def node_bound(self, res, f, h, lb, ub):
+        from pyhybridcontrol_tpu.ops.admm import admm_dual_bound
+
+        return admm_dual_bound(self.admm, f, h, lb, ub, res)
 
     def broadcast_data(self, f, h, W):
         return (jnp.broadcast_to(f, (W,) + f.shape),
@@ -112,6 +129,15 @@ class BnbSpec:
     # relaxations sit at large residuals for thousands of iterations).
     int_tol: float = 1e-3        # integrality tolerance on relaxed binaries
     gap: float = 1e-4            # absolute pruning gap margin
+    inc_tol: float = 0.0         # INCUMBENT acceptance primal tolerance;
+    # 0 → feas_tol. A probe iterate accepted at r≈feas_tol can report
+    # an objective ~|y|·r away from the true leaf optimum; the
+    # certified clamp in do_probe (max with the leaf's dual bound)
+    # removes the gross-underestimate side, and this knob lets
+    # parity-critical runs demand near-converged incumbents (well-
+    # conditioned two-phase probes reach 1e-5–1e-7: dewh 1.5e-5 @200
+    # iters, battery 7e-7). Consensus-tree probes legitimately plateau
+    # near 1e-4 while feasible, so the strict setting is opt-in.
     warm_start: bool = True      # children inherit parent ADMM iterates
     # (x, z, y) through the node pool — fewer iterations to re-converge
     probe_iters: int = 0         # iterations for dive probes / leaf
@@ -351,10 +377,26 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
         relax = backend.solve(fb, hb, lb, ub, spec.qp_iters, warm=warm)
         converged = relax.r_prim_rel < spec.feas_tol
         infeasible = relax.infeas_cert | (relax.r_prim_rel > spec.infeas_tol)
-        # trustworthy lower bound only when converged; otherwise inherit
-        # the parent bound (still valid) so the child ordering stays sane.
-        lower = jnp.where(valid & converged, relax.obj,
-                          jnp.where(valid & ~infeasible, parent_bound, BIG))
+        node_bound = getattr(backend, "node_bound", None)
+        if node_bound is not None:
+            # CERTIFIED dual bound (ops/admm.py admm_dual_bound): valid
+            # for any iterate, so every node gets a usable bound and
+            # bound-pruning needs no convergence gate. relax.obj of a
+            # merely primal-feasible iterate can overestimate the true
+            # relaxation value by ~1e-2 — enough to wrongly prune
+            # optimal subtrees at gap=1e-4 (battery family, measured).
+            cert = node_bound(relax, fb, hb, lb, ub)
+            cert = jnp.where(jnp.isfinite(cert), cert, parent_bound)
+            lower = jnp.where(valid & ~infeasible,
+                              jnp.maximum(parent_bound, cert), BIG)
+            bound_certified = True
+        else:
+            # trustworthy only when converged; otherwise inherit the
+            # parent bound (still valid) so child ordering stays sane.
+            lower = jnp.where(
+                valid & converged, relax.obj,
+                jnp.where(valid & ~infeasible, parent_bound, BIG))
+            bound_certified = False
 
         xb = relax.x[:, bidx]
         rounded = jnp.round(jnp.clip(xb, 0.0, 1.0))
@@ -393,8 +435,21 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
             probe = probe_solve(fb, hb, lb_p, ub_p,
                                 spec.probe_iters or spec.qp_iters,
                                 warm=(relax.x, relax.z, relax.y))
-            ok = (probe.r_prim_rel < spec.feas_tol) & valid
-            return jnp.where(ok, probe.obj, BIG), probe.x, ok
+            ok = (probe.r_prim_rel < (spec.inc_tol or spec.feas_tol)) & valid
+            pobj = probe.obj
+            if node_bound is not None:
+                # Clamp the candidate with the leaf's certified dual
+                # bound: a feas_tol-feasible but unconverged probe
+                # iterate can report an objective BELOW the true leaf
+                # optimum (measured on-chip: −42.93 vs −42.69, 0.57%),
+                # corrupting both the reported incumbent and pruning.
+                # The cert bound is a valid lower bound for the leaf
+                # QP, so max() removes the unconverged drift while
+                # keeping the candidate ≤ any genuinely better probe.
+                pcert = node_bound(probe, fb, hb, lb_p, ub_p)
+                pobj = jnp.where(jnp.isfinite(pcert),
+                                 jnp.maximum(pobj, pcert), pobj)
+            return jnp.where(ok, pobj, BIG), probe.x, ok
 
         if spec.probe_patience == 0:
             probe_obj, probe_x, probe_ok = do_probe(None)
@@ -425,8 +480,11 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
                 inc_obj, inc_x, inc_found)
 
         # -- 4. prune ----------------------------------------------------
+        bound_prune = (lower >= inc_obj - spec.gap)
+        if not bound_certified:
+            bound_prune &= converged
         prune = ((~valid) | infeasible | fully_fixed
-                 | (converged & (lower >= inc_obj - spec.gap))
+                 | bound_prune
                  | (converged & integral))
         expand = valid & ~prune
 

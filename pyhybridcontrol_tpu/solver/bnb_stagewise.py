@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pyhybridcontrol_tpu.ops.stagewise import (
-    StagewiseQP, stagewise_admm_solve)
+    StagewiseQP, stagewise_admm_solve, stagewise_dual_bound)
 from pyhybridcontrol_tpu.solver.bnb import BnbResult, BnbSpec, _bnb_loop
 
 
@@ -85,6 +85,23 @@ class StagewiseBackend:
             return self.solve(f, h, lb, ub, iters, warm=warm)
         return StagewiseBackend(self.sw_probe).solve(f, h, lb, ub, iters,
                                                      warm=warm)
+
+    def node_bound(self, res, f, h, lb, ub):
+        sw = self.sw
+        batch = f.shape[:-1]
+        q = f.reshape(batch + (sw.N, sw.b))
+        l = h[..., 0, :, :]
+        u = h[..., 1, :, :]
+        lb_xi = lb.reshape(batch + (sw.N, sw.b))
+        ub_xi = ub.reshape(batch + (sw.N, sw.b))
+        l = l.at[..., :, sw.nx + sw.nc:].set(lb_xi)
+        u = u.at[..., :, sw.nx + sw.nc:].set(ub_xi)
+        res = dataclasses.replace(
+            res,
+            x=res.x.reshape(batch + (sw.N, sw.b)),
+            y=res.y.reshape(batch + (sw.N, sw.m_k)),
+            z=res.z.reshape(batch + (sw.N, sw.m_k)))
+        return stagewise_dual_bound(sw, q, l, u, res)
 
     def broadcast_data(self, f, h, W):
         return (jnp.broadcast_to(f, (W,) + f.shape),
