@@ -1,0 +1,404 @@
+"""Pooled multi-instance branch-and-bound: B independent MIQPs (same
+condensed matrices, per-instance f/h — e.g. a batch of scenarios or a
+batched control step) solved in ONE global node pool.
+
+Why not ``vmap(solve_miqp_bnb)`` (the round-1/2 config-4 path)?  Two
+structural taxes of the vmapped form:
+
+1. **Lock-step waves.** Under ``vmap`` every instance runs the
+   while_loop until the SLOWEST instance terminates; an instance that
+   closes its tree in 3 waves keeps burning full wave solves for 30.
+2. **Lane-starved solves.** Each wave relaxes only ``wave_size`` (8–32)
+   nodes per instance: a (B, W, n) batch of tiny matmuls that cannot
+   tile the Pallas kernel's 128-lane batch grain (ops/pallas_admm.py),
+   so the hot loop is locked out of the fast path.
+
+The pooled driver removes both: all instances' open nodes live in one
+(P,)-slot pool tagged with an instance id, each wave selects the
+globally best ``wave_size`` nodes (instances that finished simply stop
+contributing), and the wave's relaxation+probe batch is a single
+(W, n) solve with W sized to the kernel grain (512–2048). Total wave
+count ≈ total-tree-nodes / W instead of B × max-per-instance-waves.
+
+Per-instance state (incumbent, best open bound) is kept as (B,) vectors
+updated with scatter-min; bounds/pruning are exact per instance — the
+pooling changes ONLY the schedule, not the search semantics. Pseudo-cost
+statistics are shared across instances (same matrices, same branching
+structure — cross-instance learning is a feature).
+
+Selection note: global best-first ranks nodes by RAW bound value, so
+instances with systematically lower objective scales are served first.
+For homogeneous batches (the scenario/batched-feedback use case) this is
+exactly fair; wildly heterogeneous objective scales would need a
+per-instance bound normalization (not implemented — documented limit).
+
+SURVEY.md §2b solver/bnb + kernels/qp_admm: this is the component that
+routes the B&B hot loop through the speed-of-light kernel path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from pyhybridcontrol_tpu.ops.admm import BoxQP
+from pyhybridcontrol_tpu.ops.condense import DeviceQP
+from pyhybridcontrol_tpu.solver.bnb import (
+    BIG, BnbResult, BnbSpec, CondensedBackend)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class KernelCondensedBackend(CondensedBackend):
+    """CondensedBackend whose solves dispatch through
+    ``admm_solve_auto`` — the Pallas kernel when the wave batch tiles
+    the 128-lane grain on TPU, the XLA path otherwise (CPU tests run
+    the identical search through XLA). Same scaled frame, same
+    AdmmResult contract, so warm starts and the certified dual bound
+    are unchanged."""
+
+    def solve(self, f, h, lb, ub, iters, warm=None):
+        from pyhybridcontrol_tpu.ops.pallas_admm import admm_solve_auto
+
+        return admm_solve_auto(self.admm, f, h, lb, ub, iters=iters,
+                               warm=warm)
+
+    def solve_probe(self, f, h, lb, ub, iters, warm=None):
+        from pyhybridcontrol_tpu.ops.pallas_admm import admm_solve_auto
+
+        if self.admm_probe is None:
+            return admm_solve_auto(self.admm, f, h, lb, ub, iters=iters,
+                                   warm=warm)
+        k = iters // 2
+        r1 = admm_solve_auto(self.admm_probe, f, h, lb, ub, iters=k,
+                             warm=warm)
+        return admm_solve_auto(self.admm, f, h, lb, ub, iters=iters - k,
+                               warm=(r1.x, r1.z, r1.y))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PooledState:
+    # pool (P slots, global over instances)
+    inst: jnp.ndarray          # (P,) int32 owning instance
+    fix_mask: jnp.ndarray      # (P, nb) bool
+    fix_val: jnp.ndarray       # (P, nb)
+    x_pool: jnp.ndarray        # (P, n) warm primal
+    z_pool: jnp.ndarray        # (P, mt)
+    y_pool: jnp.ndarray        # (P, mt)
+    bound: jnp.ndarray         # (P,)
+    active: jnp.ndarray        # (P,) bool
+    depth: jnp.ndarray         # (P,) int32
+    branch_var: jnp.ndarray    # (P,) int32 (−1 root)
+    branch_dir: jnp.ndarray    # (P,) int32
+    branch_frac: jnp.ndarray   # (P,)
+    # shared pseudo-costs (nb, 2)
+    pc_sum: jnp.ndarray
+    pc_cnt: jnp.ndarray
+    # per-instance incumbents
+    inc_obj: jnp.ndarray       # (B,)
+    inc_x: jnp.ndarray         # (B, n)
+    inc_found: jnp.ndarray     # (B,) bool
+    # loop bookkeeping
+    wave: jnp.ndarray
+    nodes_solved: jnp.ndarray
+    overflow: jnp.ndarray
+    alive: jnp.ndarray
+    best_open: jnp.ndarray     # (B,) min open bound per instance
+
+
+def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
+                 init_node=None, init_incumbent=None) -> BnbResult:
+    """f (B, n), h (B, m_ineq). Returns BnbResult with (B,)-leading
+    incumbent fields and scalar wave/node counters."""
+    B, n = f.shape
+    nb = len(backend.binary_idx)
+    bidx = jnp.asarray(backend.binary_idx)
+    P = pool_slots
+    W = spec.wave_size
+    mt = backend.warm_size
+    dtype = f.dtype
+    if P < 2 * B:
+        raise ValueError(f"pool_slots {P} < 2*B (roots + warm nodes)")
+
+    def node_bounds(fm, fv):
+        Wb = fm.shape[0]
+        lb = jnp.broadcast_to(backend.lb, (Wb, backend.n))
+        ub = jnp.broadcast_to(backend.ub, (Wb, backend.n))
+        lb = lb.at[:, bidx].set(jnp.where(fm, fv, 0.0))
+        ub = ub.at[:, bidx].set(jnp.where(fm, fv, 1.0))
+        return lb, ub
+
+    # ---- init: B roots in slots 0..B-1 -----------------------------------
+    s = PooledState(
+        inst=jnp.zeros((P,), jnp.int32).at[:B].set(
+            jnp.arange(B, dtype=jnp.int32)),
+        fix_mask=jnp.zeros((P, nb), bool),
+        fix_val=jnp.zeros((P, nb), dtype),
+        x_pool=jnp.zeros((P, n), dtype),
+        z_pool=jnp.zeros((P, mt), dtype),
+        y_pool=jnp.zeros((P, mt), dtype),
+        bound=jnp.full((P,), -BIG, dtype),
+        active=jnp.zeros((P,), bool).at[:B].set(True),
+        depth=jnp.zeros((P,), jnp.int32),
+        branch_var=jnp.full((P,), -1, jnp.int32),
+        branch_dir=jnp.zeros((P,), jnp.int32),
+        branch_frac=jnp.zeros((P,), dtype),
+        pc_sum=jnp.zeros((nb, 2), dtype),
+        pc_cnt=jnp.zeros((nb, 2), dtype),
+        inc_obj=jnp.full((B,), BIG, dtype),
+        inc_x=jnp.zeros((B, n), dtype),
+        inc_found=jnp.zeros((B,), bool),
+        wave=jnp.asarray(0, jnp.int32),
+        nodes_solved=jnp.asarray(0, jnp.int32),
+        overflow=jnp.asarray(False),
+        alive=jnp.asarray(True),
+        best_open=jnp.full((B,), -BIG, dtype),
+    )
+    if init_incumbent is not None:
+        obj0, x0V, ok0 = init_incumbent
+        s = dataclasses.replace(
+            s,
+            inc_obj=jnp.where(ok0, obj0.astype(dtype), s.inc_obj),
+            inc_x=jnp.where(ok0[:, None], x0V.astype(dtype), s.inc_x),
+            inc_found=s.inc_found | ok0)
+    if spec.root_iters > spec.qp_iters and spec.warm_start:
+        lb0, ub0 = node_bounds(s.fix_mask[:B], s.fix_val[:B])
+        r0 = backend.solve(f, h, lb0, ub0,
+                           spec.root_iters - spec.qp_iters)
+        s = dataclasses.replace(
+            s,
+            x_pool=s.x_pool.at[:B].set(r0.x.astype(dtype)),
+            z_pool=s.z_pool.at[:B].set(r0.z.astype(dtype)),
+            y_pool=s.y_pool.at[:B].set(r0.y.astype(dtype)))
+    if init_node is not None:
+        # carried-plan warm start per instance: fully-fixed candidate
+        # assignments in slots B..2B-1 (bound −BIG → ride wave 1; their
+        # relaxation IS the fixed-binary solve, the probe turns them
+        # into incumbents — zero extra up-front QP solves).
+        bv0, okn, xw = init_node
+        sl = jnp.arange(B, 2 * B)
+        s = dataclasses.replace(
+            s,
+            inst=s.inst.at[sl].set(jnp.arange(B, dtype=jnp.int32)),
+            active=s.active.at[sl].set(okn),
+            fix_mask=s.fix_mask.at[sl].set(jnp.ones((B, nb), bool)),
+            fix_val=s.fix_val.at[sl].set(bv0.astype(dtype)))
+        if spec.warm_start and xw is not None:
+            s = dataclasses.replace(
+                s, x_pool=s.x_pool.at[sl].set(xw.astype(dtype)))
+
+    def cond(s: PooledState):
+        live = s.alive & (s.wave < spec.max_waves)
+        if spec.rel_gap > 0:
+            tol = spec.rel_gap * jnp.maximum(1.0, jnp.abs(s.inc_obj))
+            inst_done = s.inc_found & (s.inc_obj - s.best_open <= tol)
+            live &= ~jnp.all(inst_done)
+        return live
+
+    def body(s: PooledState) -> PooledState:
+        # -- 1. global best-first selection ------------------------------
+        pri = jnp.where(s.active, s.bound, BIG)
+        _, sel = jax.lax.top_k(-pri, W)
+        valid = s.active[sel]
+        ni = s.inst[sel]                      # (W,) owning instance
+        fm = s.fix_mask[sel]
+        fv = s.fix_val[sel]
+        parent_bound = s.bound[sel]
+
+        # -- 2. batched relaxations (ONE (W, n) solve — kernel path) -----
+        fb = f[ni]
+        hb = h[ni]
+        lb, ub = node_bounds(fm, fv)
+        warm = ((s.x_pool[sel], s.z_pool[sel], s.y_pool[sel])
+                if spec.warm_start else None)
+        relax = backend.solve(fb, hb, lb, ub, spec.qp_iters, warm=warm)
+        converged = relax.r_prim_rel < spec.feas_tol
+        infeasible = (relax.infeas_cert
+                      | (relax.r_prim_rel > spec.infeas_tol))
+        # certified dual bound — valid for ANY iterate (ops/admm.py
+        # admm_dual_bound; see solver/bnb.py for why relax.obj alone
+        # wrongly prunes).
+        cert = backend.node_bound(relax, fb, hb, lb, ub)
+        cert = jnp.where(jnp.isfinite(cert), cert, parent_bound)
+        lower = jnp.where(valid & ~infeasible,
+                          jnp.maximum(parent_bound, cert), BIG)
+
+        xb = relax.x[:, bidx]
+        rounded = jnp.round(jnp.clip(xb, 0.0, 1.0))
+        frac = jnp.where(fm, 0.0, jnp.abs(xb - rounded))
+        max_frac = jnp.max(frac, axis=1) if nb > 0 else jnp.zeros(W)
+        integral = max_frac < spec.int_tol
+        fully_fixed = jnp.all(fm, axis=1)
+
+        # -- 2b. shared pseudo-cost observation --------------------------
+        bv = s.branch_var[sel]
+        bdir = s.branch_dir[sel]
+        bf = jnp.clip(s.branch_frac[sel], 0.0, 1.0)
+        obs = valid & converged & (bv >= 0)
+        gain = jnp.maximum(lower - parent_bound, 0.0)
+        denom = jnp.where(bdir == 1, 1.0 - bf, bf)
+        contrib = jnp.where(obs, gain / jnp.maximum(denom, 1e-3), 0.0)
+        bv_safe = jnp.where(obs, bv, nb)
+        pc_sum = s.pc_sum.at[bv_safe, bdir].add(contrib, mode="drop")
+        pc_cnt = s.pc_cnt.at[bv_safe, bdir].add(
+            obs.astype(s.pc_cnt.dtype), mode="drop")
+
+        # -- 3. probe (dive) — second (W, n) kernel batch ----------------
+        pv = jnp.where(fm, fv, rounded)
+        ones = jnp.ones_like(fm)
+        lb_p, ub_p = node_bounds(ones, pv)
+        probe = backend.solve_probe(fb, hb, lb_p, ub_p,
+                                    spec.probe_iters or spec.qp_iters,
+                                    warm=(relax.x, relax.z, relax.y))
+        probe_ok = (probe.r_prim_rel
+                    < (spec.inc_tol or spec.feas_tol)) & valid
+        # certified-clamp: see solver/bnb.py do_probe — a feas_tol
+        # iterate's objective can sit BELOW the true leaf optimum.
+        pcert = backend.node_bound(probe, fb, hb, lb_p, ub_p)
+        pobj = jnp.where(jnp.isfinite(pcert),
+                         jnp.maximum(probe.obj, pcert), probe.obj)
+        cand = jnp.where(probe_ok, pobj, BIG)
+
+        # per-instance incumbent update: scatter-min on obj, then a
+        # deterministic unique-winner scatter for the plan (lowest wave
+        # row wins ties so sharded/unsharded compilations agree).
+        inc_obj = s.inc_obj.at[ni].min(cand)
+        improved = probe_ok & (cand < s.inc_obj[ni]) & (cand <= inc_obj[ni])
+        rows = jnp.arange(W)
+        first = jnp.full((B,), W, jnp.int32).at[ni].min(
+            jnp.where(improved, rows, W).astype(jnp.int32))
+        winner = improved & (rows == first[ni])
+        tgt = jnp.where(winner, ni, B)
+        inc_x = s.inc_x.at[tgt].set(probe.x, mode="drop")
+        inc_found = s.inc_found.at[tgt].set(True, mode="drop")
+
+        # -- 4. prune (per-instance incumbent) ---------------------------
+        prune = ((~valid) | infeasible | fully_fixed
+                 | (lower >= inc_obj[ni] - spec.gap)
+                 | (converged & integral))
+        expand = valid & ~prune
+
+        # -- 5. branch ---------------------------------------------------
+        child_bound = jnp.maximum(
+            parent_bound, jnp.where(converged, lower, parent_bound))
+        xbc = jnp.clip(xb, 0.0, 1.0)
+        if spec.branching == "pseudocost":
+            cnt_tot = jnp.sum(pc_cnt, axis=0)
+            gavg = jnp.where(cnt_tot > 0,
+                             jnp.sum(pc_sum, axis=0)
+                             / jnp.maximum(cnt_tot, 1.0), 1.0)
+            avg = pc_sum / jnp.maximum(pc_cnt, 1.0)
+            est = jnp.where(pc_cnt > 0, avg, gavg[None, :])
+            sc = (jnp.maximum(est[None, :, 0] * xbc, 1e-8)
+                  * jnp.maximum(est[None, :, 1] * (1.0 - xbc), 1e-8))
+            sc = sc * jnp.maximum(frac, 1e-4)
+            score = jnp.where(fm, -1.0, sc)
+        else:
+            score = jnp.where(fm, -1.0, frac)
+        jstar = jnp.argmax(score, axis=1)
+        branch_hot = jax.nn.one_hot(jstar, nb, dtype=bool)
+        cfm = fm | branch_hot
+        cfv0 = jnp.where(branch_hot, 0.0, fv)
+        cfv1 = jnp.where(branch_hot, 1.0, fv)
+        cdepth = s.depth[sel] + 1
+        cbf = jnp.take_along_axis(xbc, jstar[:, None], axis=1)[:, 0]
+        cbv = jstar.astype(jnp.int32)
+
+        # child-0 overwrites the parent slot (instance id unchanged)
+        active = s.active.at[sel].set(False)
+        fix_mask = s.fix_mask.at[sel].set(
+            jnp.where(expand[:, None], cfm, fm))
+        fix_val = s.fix_val.at[sel].set(
+            jnp.where(expand[:, None], cfv0, fv))
+        bound = s.bound.at[sel].set(child_bound)
+        depth = s.depth.at[sel].set(cdepth)
+        branch_var = s.branch_var.at[sel].set(
+            jnp.where(expand, cbv, s.branch_var[sel]))
+        branch_dir = s.branch_dir.at[sel].set(
+            jnp.where(expand, 0, s.branch_dir[sel]))
+        branch_frac = s.branch_frac.at[sel].set(
+            jnp.where(expand, cbf, s.branch_frac[sel]))
+        active = active.at[sel].set(expand)
+        if spec.warm_start:
+            x_pool = s.x_pool.at[sel].set(relax.x)
+            z_pool = s.z_pool.at[sel].set(relax.z)
+            y_pool = s.y_pool.at[sel].set(relax.y)
+        else:
+            x_pool, z_pool, y_pool = s.x_pool, s.z_pool, s.y_pool
+
+        # child-1 → globally free slots (best-bound children win)
+        free_score = jnp.where(active, -1.0, 1.0)
+        fs_val, free_slots = jax.lax.top_k(free_score, W)
+        slot_free = fs_val > 0.0
+        order = jnp.argsort(jnp.where(expand, child_bound, BIG))
+        tgt_c = free_slots
+        src = order
+        write_ok = slot_free & expand[src]
+        tgt_safe = jnp.where(write_ok, tgt_c, P)
+        inst_arr = s.inst.at[tgt_safe].set(ni[src], mode="drop")
+        fix_mask = fix_mask.at[tgt_safe].set(cfm[src], mode="drop")
+        fix_val = fix_val.at[tgt_safe].set(cfv1[src], mode="drop")
+        bound = bound.at[tgt_safe].set(child_bound[src], mode="drop")
+        depth = depth.at[tgt_safe].set(cdepth[src], mode="drop")
+        branch_var = branch_var.at[tgt_safe].set(cbv[src], mode="drop")
+        branch_dir = branch_dir.at[tgt_safe].set(1, mode="drop")
+        branch_frac = branch_frac.at[tgt_safe].set(cbf[src], mode="drop")
+        active = active.at[tgt_safe].set(True, mode="drop")
+        if spec.warm_start:
+            x_pool = x_pool.at[tgt_safe].set(relax.x[src], mode="drop")
+            z_pool = z_pool.at[tgt_safe].set(relax.z[src], mode="drop")
+            y_pool = y_pool.at[tgt_safe].set(relax.y[src], mode="drop")
+        overflow = s.overflow | jnp.any(expand[src] & ~slot_free)
+
+        alive = jnp.any(active)
+        best_open = jnp.full((B,), BIG, dtype).at[inst_arr].min(
+            jnp.where(active, bound, BIG))
+
+        return PooledState(
+            inst=inst_arr, fix_mask=fix_mask, fix_val=fix_val,
+            x_pool=x_pool, z_pool=z_pool, y_pool=y_pool,
+            bound=bound, active=active, depth=depth,
+            branch_var=branch_var, branch_dir=branch_dir,
+            branch_frac=branch_frac, pc_sum=pc_sum, pc_cnt=pc_cnt,
+            inc_obj=inc_obj, inc_x=inc_x, inc_found=inc_found,
+            wave=s.wave + 1,
+            nodes_solved=(s.nodes_solved
+                          + jnp.sum(valid.astype(jnp.int32))),
+            overflow=overflow, alive=alive, best_open=best_open)
+
+    s = jax.lax.while_loop(cond, body, s)
+    best_open = jnp.full((B,), BIG, dtype).at[s.inst].min(
+        jnp.where(s.active, s.bound, BIG))
+    return BnbResult(x=s.inc_x, obj=s.inc_obj, found=s.inc_found,
+                     waves=s.wave, nodes_solved=s.nodes_solved,
+                     overflow=s.overflow, best_open_bound=best_open)
+
+
+@partial(jax.jit, static_argnames=("spec", "pool_slots"))
+def solve_miqp_bnb_pooled(admm: BoxQP, qp: DeviceQP, f, h,
+                          spec: BnbSpec = BnbSpec(),
+                          pool_slots: int = 0,
+                          init_incumbent=None, init_node=None,
+                          admm_probe: Optional[BoxQP] = None
+                          ) -> BnbResult:
+    """Solve B MIQPs sharing one condensed structure in a single pooled
+    B&B. f (B, n), h (B, m_ineq) from a vmapped ``qp.assemble``.
+
+    ``pool_slots``: total pool size (0 → 32·B, min 4096-aligned to the
+    wave). Set ``spec.wave_size`` to a multiple of 128 to engage the
+    Pallas kernel for every wave's relaxation + probe batch on TPU.
+
+    Returns a BnbResult whose x/obj/found/best_open_bound carry the
+    (B,) instance axis; waves/nodes_solved are global scalars."""
+    B = f.shape[0]
+    P = pool_slots or max(32 * B, 2 * B)
+    backend = KernelCondensedBackend(admm=admm, qp=qp,
+                                     admm_probe=admm_probe)
+    return _pooled_loop(backend, f, h, spec, P,
+                        init_node=init_node,
+                        init_incumbent=init_incumbent)

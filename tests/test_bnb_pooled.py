@@ -1,0 +1,84 @@
+"""Pooled multi-instance B&B (solver/bnb_pooled.py) vs the vmapped
+per-instance driver: identical search semantics, different schedule —
+per-instance incumbents must agree to solver tolerance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyhybridcontrol_tpu.models.double_integrator import (
+    default_weights, switched_double_integrator)
+from pyhybridcontrol_tpu.ops.admm import prepare_admm_mpc
+from pyhybridcontrol_tpu.ops.condense import CondensedMpc
+from pyhybridcontrol_tpu.solver.bnb import BnbSpec, solve_miqp_bnb
+from pyhybridcontrol_tpu.solver.bnb_pooled import solve_miqp_bnb_pooled
+
+
+def _setup(N=8):
+    model = switched_double_integrator()
+    c = CondensedMpc(model, N, default_weights())
+    return model, c, c.device_qp(), prepare_admm_mpc(c)
+
+
+def test_pooled_matches_vmapped():
+    _, c, qp, admm = _setup()
+    probe = prepare_admm_mpc(c, rho=10.0)
+    B = 8
+    rng = np.random.default_rng(7)
+    x0s = jnp.asarray(rng.normal(size=(B, 2)).astype(np.float32))
+    f, h = jax.vmap(qp.assemble)(x0s)
+
+    spec_ref = BnbSpec(capacity=128, wave_size=16, max_waves=48,
+                       qp_iters=200)
+    ref = jax.jit(jax.vmap(
+        lambda f_, h_: solve_miqp_bnb(admm, qp, f_, h_, spec_ref,
+                                      admm_probe=probe)))(f, h)
+
+    spec_p = BnbSpec(capacity=128, wave_size=32, max_waves=128,
+                     qp_iters=200)
+    res = solve_miqp_bnb_pooled(admm, qp, f, h, spec_p,
+                                pool_slots=1024, admm_probe=probe)
+
+    assert bool(jnp.all(res.found))
+    assert bool(jnp.all(ref.found))
+    np.testing.assert_allclose(np.asarray(res.obj), np.asarray(ref.obj),
+                               rtol=1e-3, atol=1e-3)
+    # plans are feasible integral assignments for their own instance
+    bidx = np.asarray(qp.binary_idx)
+    xb = np.asarray(res.x)[:, bidx]
+    assert np.all(np.abs(xb - np.round(xb)) < 1e-2)
+    # pooled wave count must be far below B x per-instance waves
+    assert int(res.waves) < int(jnp.sum(ref.waves))
+
+
+def test_pooled_rel_gap_termination():
+    _, c, qp, admm = _setup()
+    B = 4
+    rng = np.random.default_rng(3)
+    x0s = jnp.asarray(rng.normal(size=(B, 2)).astype(np.float32))
+    f, h = jax.vmap(qp.assemble)(x0s)
+    spec = BnbSpec(capacity=64, wave_size=16, max_waves=256,
+                   qp_iters=200, rel_gap=1e-3)
+    res = solve_miqp_bnb_pooled(admm, qp, f, h, spec, pool_slots=256)
+    assert bool(jnp.all(res.found))
+    # the gap stop must have cut the wave count well below the cap
+    assert int(res.waves) < 256
+
+
+def test_pooled_carried_plan_seed():
+    """init_node: per-instance fully-fixed candidate assignments become
+    incumbents through the wave-1 probe."""
+    _, c, qp, admm = _setup()
+    B = 4
+    rng = np.random.default_rng(11)
+    x0s = jnp.asarray(rng.normal(size=(B, 2)).astype(np.float32))
+    f, h = jax.vmap(qp.assemble)(x0s)
+    spec = BnbSpec(capacity=64, wave_size=16, max_waves=2, qp_iters=200)
+    nb = len(qp.binary_idx)
+    bv = jnp.zeros((B, nb), jnp.float32)
+    ok = jnp.ones((B,), bool)
+    res = solve_miqp_bnb_pooled(admm, qp, f, h, spec, pool_slots=256,
+                                init_node=(bv, ok, None))
+    # two waves only — but every instance must already hold an incumbent
+    # (root probe or the seeded node)
+    assert bool(jnp.all(res.found))
