@@ -50,19 +50,20 @@ def affine_scan_rollout(model: MldModel, x0, v_seq, omega_seq=None):
     m = model.mats
     N = v_seq.shape[0]
     Bv = jnp.concatenate([m.B1, m.B2, m.B3], axis=1)
-    b = v_seq @ Bv.T + m.b5[:, 0]
+    b = jnp.matmul(v_seq, Bv.T, precision="highest") + m.b5[:, 0]
     if omega_seq is not None and info.nomega:
-        b = b + omega_seq @ m.B4.T
+        b = b + jnp.matmul(omega_seq, m.B4.T, precision="highest")
     Ms = jnp.broadcast_to(m.A, (N,) + m.A.shape)
 
     def comb(l, r):
         Ml, cl = l
         Mr, cr = r
         return (jnp.matmul(Mr, Ml, precision="highest"),
-                jnp.einsum("...ij,...j->...i", Mr, cl) + cr)
+                jnp.einsum("...ij,...j->...i", Mr, cl,
+                            precision="highest") + cr)
 
     Mp, cp = jax.lax.associative_scan(comb, (Ms, b))
-    xs = jnp.einsum("kij,j->ki", Mp, x0) + cp
+    xs = jnp.einsum("kij,j->ki", Mp, x0, precision="highest") + cp
     return xs
 
 
@@ -90,7 +91,8 @@ def condense_device(model: MldModel, N: int):
         # block (k, j) = A^{k−j+offset} @ B where k−j+offset ≥ 0
         mk = (d + power_offset >= 0) & (d >= (0 if power_offset == 0 else 1))
         dd = jnp.clip(d + power_offset, 0, N)
-        blocks = jnp.einsum("kjab,bc->kjac", pw[dd], B)
+        blocks = jnp.einsum("kjab,bc->kjac", pw[dd], B,
+                            precision="highest")
         blocks = jnp.where(mk[:, :, None, None], blocks, 0.0)
         return blocks.transpose(0, 2, 1, 3).reshape(N * nx,
                                                     N * B.shape[1])
@@ -102,12 +104,13 @@ def condense_device(model: MldModel, N: int):
 
     b5 = m.b5[:, 0]
     # Gc_k = Σ_{i≤k} A^{k−i} b5  (x frame);  Gc̃_k = Σ_{i<k} A^{k−1−i} b5
-    contrib = jnp.einsum("kjab,b->kja", pw[d0], b5)
+    contrib = jnp.einsum("kjab,b->kja", pw[d0], b5,
+                         precision="highest")
     contrib = jnp.where(mask[:, :, None], contrib, 0.0)
     Gc = contrib.sum(axis=1).reshape(N * nx)
     mask_t = d >= 1
     contrib_t = jnp.einsum("kjab,b->kja", pw[jnp.where(mask_t, d - 1, 0)],
-                           b5)
+                           b5, precision="highest")
     contrib_t = jnp.where(mask_t[:, :, None], contrib_t, 0.0)
     Gc_t = contrib_t.sum(axis=1).reshape(N * nx)
 
@@ -140,7 +143,8 @@ def condense_horizon_sharded(model: MldModel, N: int, mesh, axis: str = "hz"):
         dd = k_local - j
         mask = dd >= 0
         blocks = jnp.einsum("kjab,bc->kjac",
-                            pw[jnp.where(mask, dd, 0)], Bv)
+                            pw[jnp.where(mask, dd, 0)], Bv,
+                            precision="highest")
         blocks = jnp.where(mask[:, :, None, None], blocks, 0.0)
         Gv_rows = blocks.transpose(0, 2, 1, 3).reshape(Nl * nx, N * nv)
         Phi_rows = jax.lax.dynamic_slice_in_dim(

@@ -208,16 +208,17 @@ def repair_sequence(spec: RepairSpec, x0, u_ref_seq, W=None,
     def step(x, inp):
         u_ref, w_k, price = inp
         # rhs per candidate: f5 − E x − F4 ω − F_bin δc
-        base = spec.f5 - spec.E @ x - spec.F4 @ w_k
-        h = base[None, :] - spec.candidates @ spec.F2E.T       # (C, nc)
+        hp = lambda a, b: jnp.matmul(a, b, precision="highest")
+        base = spec.f5 - hp(spec.E, x) - hp(spec.F4, w_k)
+        h = base[None, :] - hp(spec.candidates, spec.F2E.T)       # (C, nc)
         if nw_c == 0:
             # all-binary stage (e.g. DEWH heater + startup flag): no
             # stage QP — hard rows checked exactly, soft rows penalized
             viol = jnp.maximum(-h, 0.0)                       # (C, nc)
             feas = jnp.all(jnp.where(spec.hard_mask[None, :],
                                      h >= -feas_tol, True), axis=-1)
-            cont_obj = (viol @ spec.soft_lin
-                        + (viol * viol) @ spec.soft_quad)
+            cont_obj = (hp(viol, spec.soft_lin)
+                        + hp(viol * viol, spec.soft_quad))
             w_sol = jnp.zeros((C, 0))
         else:
             nw_tot = nw_c + spec.n_slack
@@ -237,14 +238,15 @@ def repair_sequence(spec: RepairSpec, x0, u_ref_seq, W=None,
             feas = res.r_prim_rel < feas_tol
             cont_obj = res.obj
             w_sol = res.x[:, :nw_c]
-        bin_cost = spec.candidates @ (spec.r_bin
-                                      + price[spec.bin_idx])
+        bin_cost = hp(spec.candidates, spec.r_bin
+                      + price[spec.bin_idx])
         # one-step-lookahead state cost per candidate
-        x_next_c = ((spec.A @ x)[None, :] + w_sol @ spec.B_cont.T
-                    + spec.candidates @ spec.B_bin.T
-                    + (spec.B4 @ w_k)[None, :] + spec.b5[None, :])
-        la = (jnp.einsum("ci,ij,cj->c", x_next_c, spec.Qx_la, x_next_c)
-              + x_next_c @ spec.qx_la)
+        x_next_c = (hp(spec.A, x)[None, :] + hp(w_sol, spec.B_cont.T)
+                    + hp(spec.candidates, spec.B_bin.T)
+                    + hp(spec.B4, w_k)[None, :] + spec.b5[None, :])
+        la = (jnp.einsum("ci,ij,cj->c", x_next_c, spec.Qx_la, x_next_c,
+                         precision="highest")
+              + hp(x_next_c, spec.qx_la))
         total = jnp.where(feas, cont_obj + bin_cost + la, BIG)
         k = jnp.argmin(total)
         wk = w_sol[k]
@@ -283,16 +285,20 @@ def root_repair_incumbent(admm, qp, rspec: RepairSpec, x0, f, h,
     elif layout == "soft":
         ns = qp.n - v_flat.shape[0]
         # soft rows carry −I on the slack block: s_r = max(0, violation)
-        Gv = qp.G[:, : v_flat.shape[0]] @ v_flat
+        Gv = jnp.matmul(qp.G[:, : v_flat.shape[0]], v_flat,
+                        precision="highest")
         viol = jnp.maximum(Gv - h, 0.0)
         Ssel = -qp.G[:, v_flat.shape[0]:]               # (m, ns), 0/1
-        s = Ssel.T @ viol
+        s = jnp.matmul(Ssel.T, viol, precision="highest")
         V = jnp.concatenate([v_flat, s])
     else:
         raise ValueError(f"repair cannot seed layout {layout!r}")
     # validate against the FULL constraint system (incl. horizon-coupled
     # rows the per-step repair does not see)
-    resid = jnp.max(qp.G @ V - h)
+    resid = jnp.max(jnp.matmul(qp.G, V, precision="highest") - h)
     ok = ok & (resid <= feas_tol)
-    obj = 0.5 * V @ (qp.H @ V) + jnp.sum(f * V)
+    # the seed objective prunes B&B nodes — bf16 drift here is a
+    # soundness bug, not a perf detail
+    obj = (0.5 * jnp.dot(V, jnp.matmul(qp.H, V, precision="highest"),
+                         precision="highest") + jnp.sum(f * V))
     return obj, V, ok
