@@ -321,10 +321,21 @@ class MpcController:
             nodes=nodes)
 
     def feedback_batch(self, x0s, omega_forecasts=None, price_seq=None,
-                       u_prevs=None, mesh=None) -> StructDict:
+                       u_prevs=None, mesh=None, engine="vmap",
+                       pooled_wave: int = 1024,
+                       pool_slots: int = 0) -> StructDict:
         """Solve a batch of independent control steps as ONE device
-        program (jit(vmap(feedback)) — the BASELINE config-4 workload
-        through the controller API instead of the low-level loop layer).
+        program — the BASELINE config-4 workload through the controller
+        API instead of the low-level loop layer.
+
+        ``engine``: "vmap" (jit(vmap(feedback)) — every solver/tree
+        combination) or "pooled" (solver="bnb" only —
+        solver/bnb_pooled.py: all instances' B&B nodes in one global
+        pool, waves sized to the Pallas kernel grain; much faster for
+        large B because instances neither lock-step nor starve the
+        batch lanes). ``pooled_wave``/``pool_slots`` size the pooled
+        search; the per-instance node budget matches bnb_spec
+        (max_waves rescales to the global wave size).
 
         ``x0s`` (B, nx); ``omega_forecasts``/``u_prevs`` optionally carry
         the same leading batch dim; ``price_seq`` is shared. With
@@ -343,6 +354,9 @@ class MpcController:
               if price_seq is not None else None)
         up = (jnp.asarray(u_prevs, jnp.float32)
               if u_prevs is not None else None)
+        if engine == "pooled":
+            return self._feedback_batch_pooled(x0s, W, Pq, up,
+                                               pooled_wave, pool_slots)
         key = (self._version, self.solver, W is not None, Pq is not None,
                up is not None)
         fn = self._fb_batch_cache.get(key)
@@ -357,6 +371,64 @@ class MpcController:
 
             x0s = jax.device_put(x0s, scenario_sharding(mesh))
         return fn(x0s, W, Pq, up)
+
+    def _feedback_batch_pooled(self, x0s, W, Pq, up, pooled_wave,
+                               pool_slots) -> StructDict:
+        """feedback_batch engine="pooled": one global node pool over the
+        batch (solver/bnb_pooled.py). Same per-instance results contract
+        as the vmapped engine; ``nodes`` is the GLOBAL node count (the
+        pool does not attribute solves to instances)."""
+        import dataclasses as _dc
+
+        import jax
+
+        from pyhybridcontrol_tpu.solver.bnb_pooled import (
+            solve_miqp_bnb_pooled)
+
+        if self.solver != "bnb":
+            raise ValueError(
+                f'engine="pooled" requires solver="bnb", got '
+                f'{self.solver!r}')
+        if self._tree is not None:
+            raise ValueError('engine="pooled" does not support scenario '
+                             "trees (one tree = one MIQP; batch trees "
+                             "via the vmap engine)")
+        qp, admm = self._qp, self._admm
+        B = x0s.shape[0]
+        f, h = jax.vmap(
+            lambda x, W_, up_: qp.assemble(x, W_, up_, Pq),
+            in_axes=(0, 0 if W is not None else None,
+                     0 if up is not None else None))(x0s, W, up)
+        seed = None
+        if self._repair is not None:
+            from pyhybridcontrol_tpu.solver.repair import (
+                root_repair_incumbent)
+
+            rspec, layout = self._repair
+            seed = jax.vmap(
+                lambda x, f_, h_, W_: root_repair_incumbent(
+                    admm, qp, rspec, x, f_, h_, W=W_, price_seq=Pq,
+                    qp_iters=self.bnb_spec.qp_iters, layout=layout,
+                    feas_tol=self.bnb_spec.feas_tol),
+                in_axes=(0, 0, 0, 0 if W is not None else None))(
+                    x0s, f, h, W)
+        spec = self.bnb_spec
+        # equal per-instance node budget at the global wave size
+        gw = max(1, (B * spec.max_waves * spec.wave_size
+                     + pooled_wave - 1) // pooled_wave)
+        pspec = _dc.replace(spec, wave_size=pooled_wave, max_waves=gw)
+        res = solve_miqp_bnb_pooled(
+            admm, qp, f, h, pspec,
+            pool_slots=pool_slots or 32 * B,
+            init_incumbent=seed, admm_probe=self._admm_probe)
+        v_seq = jax.vmap(qp.full_v)(res.x)          # (B, N, nv)
+        info = self.model.info
+        v0 = v_seq[:, 0]
+        nodes = jnp.broadcast_to(res.nodes_solved, (B,))
+        return StructDict(
+            u=v0[:, info.u_slice], delta=v0[:, info.delta_slice],
+            z=v0[:, info.z_slice], v_seq=v_seq, obj=res.obj,
+            found=res.found, nodes=nodes)
 
     def _feedback_tree_consensus(self, x0, price_seq, u_prev=None):
         """Consensus-ADMM tree MIQP (ops/consensus_tree.py): per-

@@ -177,3 +177,29 @@ def test_feedback_input_validation():
         ctrl.feedback(x0, omega_forecast=np.zeros((6, 1), np.float32))
     with pytest.raises(ValueError, match="price_seq"):
         ctrl.feedback(x0, price_seq=np.zeros((3, 3), np.float32))
+
+
+def test_feedback_batch_pooled_engine():
+    """engine="pooled" routes the batch through one global node pool
+    (solver/bnb_pooled.py) and matches the vmapped engine's per-
+    instance objectives."""
+    from pyhybridcontrol_tpu.solver.bnb import BnbSpec
+
+    model = switched_double_integrator()
+    ctrl = MpcController(model, 6, default_weights(),
+                         bnb_spec=BnbSpec(capacity=64, wave_size=8,
+                                          qp_iters=200, max_waves=24))
+    rng = np.random.default_rng(5)
+    x0s = jnp.asarray(rng.normal(size=(8, 2)).astype(np.float32))
+    ref = ctrl.feedback_batch(x0s)
+    pooled = ctrl.feedback_batch(x0s, engine="pooled", pooled_wave=32,
+                                 pool_slots=512)
+    assert pooled.u.shape == ref.u.shape
+    assert bool(jnp.all(pooled.found))
+    np.testing.assert_allclose(np.asarray(pooled.obj), np.asarray(ref.obj),
+                               rtol=1e-3, atol=1e-3)
+    # engine guards
+    ctrl_sw = MpcController(model, 6, default_weights(),
+                            solver="stagewise")
+    with pytest.raises(ValueError):
+        ctrl_sw.feedback_batch(x0s, engine="pooled")
