@@ -57,7 +57,6 @@ class BoxQP:
     P: jnp.ndarray          # (n, n) scaled quadratic  P̂ = c·DPD
     A: jnp.ndarray          # (m̄, n) scaled stacked constraints  Â = E[A]D
     Kinv: jnp.ndarray       # (n, n) inverse of P̂ + σI + ρ ÂᵀÂ
-    Pinv: jnp.ndarray       # (n, n) inverse of P̂ (certified dual bounds)
     D: jnp.ndarray          # (n,) column scaling, x = D x̂
     E: jnp.ndarray          # (m̄,) row scaling over [G; I]
     cost_scale: jnp.ndarray  # () scalar c
@@ -138,16 +137,10 @@ def prepare_admm(G: np.ndarray, H: np.ndarray, *, rho: float = 1.0,
         rho_vec[np.asarray(boost_rows, int)] *= boost_scale
     K = Ph + sigma * np.eye(n) + (Ah.T * rho_vec[None, :]) @ Ah
     Kinv = np.linalg.inv(K)
-    # P̂⁻¹ for certified dual bounds (admm_dual_bound). P̂ carries the
-    # condensation's reg·I ridge, so it is invertible; near-null
-    # curvature directions are handled by the box-dual residual
-    # cancellation in the bound, not by the inverse itself.
-    Pinv = np.linalg.inv(Ph)
     return BoxQP(
         P=jnp.asarray(Ph, dtype),
         A=jnp.asarray(Ah, dtype),
         Kinv=jnp.asarray(Kinv, dtype),
-        Pinv=jnp.asarray(Pinv, dtype),
         D=jnp.asarray(D, dtype),
         E=jnp.asarray(E, dtype),
         cost_scale=jnp.asarray(c, dtype),
@@ -262,51 +255,130 @@ def admm_solve(spec: BoxQP, q, h, lb, ub, iters: int = 100,
 
 def admm_dual_bound(spec: BoxQP, q, h, lb, ub, res: AdmmResult):
     """CERTIFIED lower bound on the box-QP optimum from the final ADMM
-    iterate — valid for ANY dual vector, converged or not.
+    iterate — valid for ANY iterate, converged or not (Falk-style
+    partial-dualization bound; no matrix inverse anywhere).
 
-    For  min ½xᵀPx + qᵀx  s.t. l ≤ Ax ≤ u  the dual function at any y
-    is  g(y) = −½wᵀP⁻¹w − S(y),  w = q + Aᵀy,
-    S(y) = Σ u_i[y_i]₊ + l_i[y_i]₋  — a lower bound by weak duality.
-    Raw ADMM duals leave a residual  d = Px + q + Aᵀy  whose
-    near-nullspace (reg-ridge) components explode wᵀP⁻¹w, so the BOX
-    rows' duals (diagonal block of Â) absorb d exactly:
-    ŷ_box ← ŷ_box − d/(E_box·D). After clamping to the support of the
-    infinite bounds ([y]₊ must vanish where u=∞, [y]₋ where l=−∞) the
-    leftover is only what the clamp re-introduces.
+    Dualize ONLY the G rows with ŷ_G ≥ 0 and keep the variable box as
+    an explicit constraint; then underestimate the inner box-QP by its
+    supporting tangent at the current iterate x̄ (convexity):
+
+        p* ≥ −ŷ_Gᵀû_G + f₀(x̄) + Σᵢ min ∇ᵢ·(x′ᵢ − x̄ᵢ)  over x′∈[lb,ub]
+        f₀(x) = ½xᵀP̂x + ŵᵀx,   ŵ = q̂ + Â_Gᵀŷ_G,   ∇ = P̂x̄ + ŵ
+
+    Valid for ANY x̄ and ANY ŷ_G ≥ 0 by weak duality + convexity, and
+    TIGHT at the optimum: there ∇ equals minus the box multipliers, so
+    complementary slackness zeroes every tangent term and the bound
+    collapses to the optimal value.
+
+    Why not the textbook dual g(y) = −½wᵀP̂⁻¹w − S(y): condensed big-M
+    Hessians are numerically SINGULAR (pwa_spring P̂ is not fp32-
+    invertible at all), so P̂⁻¹ has ~1e6-scale entries and the fp32
+    quad form loses ~12 absolute on an objective of 13 — the "bound"
+    lands ABOVE the true leaf optimum and prunes optimal subtrees
+    (measured: cert 24.99 vs leaf optimum 12.92 on pwa_spring N=3).
+    The tangent bound touches nothing larger than P̂x̄ and the box
+    widths, so its fp32 error is parity-grade.
 
     Replaces "trust relax.obj when the residual is small" in the B&B:
-    relax.obj of a primal-feasible iterate can overestimate the true
-    relaxation optimum by ~1e-2 (battery leaves, measured), which with
-    a 1e-4 prune gap silently prunes optimal subtrees. g(y) can never
-    prune one. Costs three extra matmuls per node (≈1.5 iterations).
+    relax.obj of a merely primal-feasible iterate can over/under-
+    estimate the true relaxation optimum by ~1e-2 (battery leaves,
+    measured), which with a 1e-4 prune gap silently mis-prunes. Costs
+    two extra matmuls per node (≈1 iteration).
+
+    Variables with an infinite (BIG-clipped) bound on the side the
+    tangent descends toward yield −BIG — the caller (solver/bnb.py)
+    falls back to the parent bound on non-finite certs.
 
     Returns the bound in ORIGINAL units, same leading batch as res.obj.
     """
     prec = spec.precision
     c = spec.cost_scale
     qh = c * spec.D * q
-    l, u = _bounds(spec, h, lb, ub)
     m = spec.m_ineq
     xh = res.x / spec.D
-    y = res.y
 
     def mm(a, b):
         return jnp.matmul(a, b, precision=prec)
 
-    d = mm(xh, spec.P.T) + qh + mm(y, spec.A)      # scaled dual residual
-    box_diag = spec.E[m:] * spec.D                 # Â box block (diagonal)
-    y = y.at[..., m:].add(-d / box_diag)
-    fin_u = u < 0.9 * BIG
-    fin_l = l > -0.9 * BIG
-    yp = jnp.maximum(y, 0.0)
-    yn = jnp.minimum(y, 0.0)
-    y = (jnp.where(fin_u, yp, 0.0) + jnp.where(fin_l, yn, 0.0))
-    w = qh + mm(y, spec.A)
-    S = (jnp.sum(jnp.where(fin_u, u * jnp.maximum(y, 0.0), 0.0), axis=-1)
-         + jnp.sum(jnp.where(fin_l, l * jnp.minimum(y, 0.0), 0.0),
-                   axis=-1))
-    quad = jnp.sum(w * mm(w, spec.Pinv.T), axis=-1)
-    return (-0.5 * quad - S) / c
+    # G-row duals: l=−BIG one-sided rows (see _bounds), so feasible
+    # duals are the nonnegative ones; clamping is always valid.
+    yG = jnp.maximum(res.y[..., :m], 0.0)
+    uG = h * spec.E[:m]
+    w = qh + mm(yG, spec.A[:m])
+    grad = mm(xh, spec.P.T) + w
+    # variable box in the x̂ frame (x = D x̂). Big-M condensed QPs leave
+    # u/z auxiliaries formally unbounded (pwa_spring: 18/27 vars) while
+    # the G rows bound them (z ≤ Mδ …) — without finite boxes the
+    # tangent term of any variable with a 1e-6 gradient residual is
+    # −1e24 and the bound is valid-but-useless. Two interval-arithmetic
+    # tightening passes over Â_G recover the implied finite boxes.
+    lbh = jnp.clip(lb / spec.D, -BIG, BIG)
+    ubh = jnp.clip(ub / spec.D, -BIG, BIG)
+    lbh, ubh = _implied_box(spec.A[:m], uG, lbh, ubh, passes=2)
+    tangent = jnp.sum(jnp.minimum(grad * (lbh - xh), grad * (ubh - xh)),
+                      axis=-1)
+    f0 = 0.5 * jnp.sum(xh * mm(xh, spec.P.T), axis=-1) \
+        + jnp.sum(w * xh, axis=-1)
+    return (f0 + tangent - jnp.sum(yG * uG, axis=-1)) / c
+
+
+def _implied_box(A, u, lbh, ubh, passes: int = 2):
+    """Implied variable bounds from one-sided rows  A x ≤ u  plus the
+    current box — the classic MIP-presolve interval tightening, run on
+    device per node (u/lbh/ubh may carry leading batch dims).
+
+    For row i:  A_ij x_j ≤ u_i − Σ_{k≠j} min(A_ik lb_k, A_ik ub_k), so
+    A_ij > 0 tightens ub_j and A_ij < 0 tightens lb_j. Rows/terms with
+    unbounded contributors yield ±BIG-scale candidates that tighten
+    nothing. Valid for the node AND its descendants (their feasible
+    sets are subsets). Tightened bounds may cross on infeasible nodes
+    (contradictory fixed binaries) — every finite value is then
+    vacuously a valid bound for an empty feasible set."""
+    Ap = jnp.maximum(A, 0.0)
+    An = jnp.minimum(A, 0.0)
+    eps = 1e-6
+    pos = A > eps
+    neg = A < -eps
+    for _ in range(passes):
+        # contrib[..., i, j] = min over the box of A_ij x_j. BIG-scale
+        # contributions (unbounded variables) are tracked SEPARATELY
+        # from the finite sum: u_i + BIG − BIG in floating point
+        # silently absorbs u_i (measured: a 'x_0 ≤ 5' row tightened to
+        # x_0 ≤ 0 and invalidated the whole bound on battery leaves).
+        # A column may tighten only when every OTHER contributor in its
+        # row is finite — then the arithmetic is exact by construction.
+        contrib = jnp.clip(Ap * lbh[..., None, :] + An * ubh[..., None, :],
+                           -BIG, BIG)
+        # "unbounded" at a deliberately LOW threshold: a coefficient
+        # times a ±1e30 box lands anywhere (0.2·1e30 = 2e29), and any
+        # contribution that dwarfs u_i absorbs it in floating point
+        # (u − 2e29 + 2e29 = 0 silently dropped u, over-tightening —
+        # measured on battery 'x_0 ≤ 5' rows). ≥1e8 tightens nothing
+        # useful anyway, so classifying it unbounded only loses slack.
+        big = jnp.abs(contrib) >= 1e8
+        fin = jnp.where(big, 0.0, contrib)
+        fin_sum = jnp.sum(fin, axis=-1)                    # (..., m)
+        abs_sum = jnp.sum(jnp.abs(fin), axis=-1)
+        nbig = jnp.sum(big, axis=-1)                       # (..., m)
+        others_fin = (nbig[..., :, None] - big.astype(nbig.dtype)) == 0
+        # conservative slack ≫ fp32 summation error of the finite
+        # terms: rounding may only LOOSEN the implied bound, never
+        # tighten it past the true one.
+        safety = 1e-5 * abs_sum + 1e-6 * jnp.abs(u)
+        avail = jnp.where(
+            others_fin,
+            u[..., :, None] - (fin_sum[..., :, None] - fin)
+            + safety[..., :, None],
+            BIG)                                           # u−Σ_{k≠j}
+        ub_cand = jnp.where(pos & others_fin,
+                            avail / jnp.where(pos, A, 1.0), BIG)
+        lb_cand = jnp.where(neg & others_fin,
+                            avail / jnp.where(neg, A, -1.0), -BIG)
+        ubh = jnp.minimum(ubh, jnp.clip(jnp.min(ub_cand, axis=-2),
+                                        -BIG, BIG))
+        lbh = jnp.maximum(lbh, jnp.clip(jnp.max(lb_cand, axis=-2),
+                                        -BIG, BIG))
+    return lbh, ubh
 
 
 def admm_solve_batch(spec: BoxQP, q, h, lb, ub, iters: int = 100):

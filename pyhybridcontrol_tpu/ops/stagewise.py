@@ -84,10 +84,6 @@ class StagewiseQP:
     L: jnp.ndarray           # (N, b, b), L[0] unused
     Uinv: jnp.ndarray        # (N, b, b)
     C: jnp.ndarray           # (N, b, b), C[N-1] unused
-    # block LU of P itself (certified dual bounds)
-    LP: jnp.ndarray          # (N, b, b)
-    UinvP: jnp.ndarray       # (N, b, b)
-    CP: jnp.ndarray          # (N, b, b)
     # bounds templates
     lb_xi: jnp.ndarray       # (N, b) variable box
     ub_xi: jnp.ndarray       # (N, b)
@@ -278,10 +274,6 @@ def prepare_stagewise(model: MldModel, N: int,
         return L, Uinv, C
 
     L, Uinv, C = block_lu(K_diag, K_off)
-    # block LU of the OBJECTIVE P itself (reg ridge keeps it PD):
-    # certified dual bounds need a P⁻¹-apply (see solver/bnb.py
-    # node_bound), and P block-tridiagonal → same two-scan solve
-    LP, UinvP, CP = block_lu(P_diag, P_off)
 
     # variable boxes
     lb_xi = np.full((N, b), -BIG)
@@ -293,7 +285,6 @@ def prepare_stagewise(model: MldModel, N: int,
     return StagewiseQP(
         Bv=as_(Bv), A_dyn=as_(m.A), E=as_(m.E), Fv=as_(Fv),
         P_diag=as_(P_diag), P_off=as_(P_off), q0=as_(q0),
-        LP=as_(LP), UinvP=as_(UinvP), CP=as_(CP),
         Rdu2=as_(Rdu2), M_vy=as_(M_vy), M_xy=as_(M_xy),
         Cy=as_(m.C), D4y=as_(m.D4),
         soft_lin=as_(soft_lin), soft_quad=as_(soft_quad),
@@ -363,8 +354,8 @@ def _apply_P(sw: StagewiseQP, x):
 
 def _solve_K(sw: StagewiseQP, r, factors=None):
     """K⁻¹ r via the block LU sweeps. r: (…, N, b) → (…, N, b).
-    ``factors``: optional (L, Uinv, C) triple — pass the P factors
-    (sw.LP, sw.UinvP, sw.CP) to apply P⁻¹ instead."""
+    ``factors``: optional (L, Uinv, C) triple to solve with a
+    different block-tridiagonal factorization."""
     Lf, Uf, Cf = factors if factors is not None else (sw.L, sw.Uinv, sw.C)
     r_t = jnp.moveaxis(r, -2, 0)                  # (N, …, b)
 
@@ -390,33 +381,95 @@ def _solve_K(sw: StagewiseQP, r, factors=None):
 
 
 def stagewise_dual_bound(sw: StagewiseQP, q, l, u, res: AdmmResult):
-    """Certified lower bound from the final iterate (weak duality) —
-    the stagewise analogue of ops/admm.py ``admm_dual_bound``; see
-    there for the derivation and why relax.obj alone is unsound for
-    B&B pruning. P⁻¹ applies via the block LU of P itself (sw.LP/
-    UinvP/CP — two scans, O(N·b²)). Soft rows' duals are dropped
-    (their penalty is ≥ 0, so omitting it keeps the bound valid).
+    """Certified lower bound from the final iterate — the stagewise
+    analogue of ops/admm.py ``admm_dual_bound`` (see there for the
+    derivation, tightness argument, and why a P⁻¹-based dual function
+    is numerically unsound on singular big-M Hessians).
+
+    Dualizes the dynamics rows (free sign; l=u) and the hard stage-
+    inequality rows (clamped ≥ 0), keeps the variable box explicit,
+    and underestimates the inner box-QP by its tangent at the iterate.
+    Soft rows are not constraints: their duals are zeroed and their
+    (≥ 0) penalty dropped — both directions keep the bound valid.
+    Box widths for the formally unbounded stage variables (z aux, x)
+    come from a per-stage implied-bounds pass (``_implied_box_stage``).
     Returns the bound with the same leading batch as res.obj."""
-    xi, y = res.x, res.y
-    d = _apply_P(sw, xi) + q + _apply_AT(sw, y)
-    nbox = sw.nx + sw.nc
-    y = y.at[..., :, nbox:].add(-d)              # box block of A = I
-    fin_u = u < 0.9 * BIG
-    fin_l = l > -0.9 * BIG
+    nx, nc = sw.nx, sw.nc
+    nbox = nx + nc
+    xi = res.x
+    y = res.y.at[..., :, nbox:].set(0.0)          # box rows not dualized
+    # dynamics rows: equality (l=u) → free sign. ineq rows: one-sided
+    # (l=−BIG) → clamp to the nonnegative feasible duals.
+    y = y.at[..., :, nx:nbox].max(0.0)
     if sw.has_soft:
         soft = (sw.soft_lin > 0) | (sw.soft_quad > 0)
-        fin_u = fin_u & ~soft
-        fin_l = fin_l & ~soft
-    yp = jnp.maximum(y, 0.0)
-    yn = jnp.minimum(y, 0.0)
-    y = jnp.where(fin_u, yp, 0.0) + jnp.where(fin_l, yn, 0.0)
+        y = jnp.where(soft, 0.0, y)
     w = q + _apply_AT(sw, y)
-    S = (jnp.sum(jnp.where(fin_u, u * jnp.maximum(y, 0.0), 0.0),
-                 axis=(-2, -1))
-         + jnp.sum(jnp.where(fin_l, l * jnp.minimum(y, 0.0), 0.0),
-                   axis=(-2, -1)))
-    Pw = _solve_K(sw, w, factors=(sw.LP, sw.UinvP, sw.CP))
-    return -0.5 * jnp.sum(w * Pw, axis=(-2, -1)) - S
+    grad = _apply_P(sw, xi) + w
+    lbe, ube = _implied_box_stage(sw, l, u)
+    tangent = jnp.sum(jnp.minimum(grad * (lbe - xi), grad * (ube - xi)),
+                      axis=(-2, -1))
+    f0 = (0.5 * jnp.sum(xi * _apply_P(sw, xi), axis=(-2, -1))
+          + jnp.sum(w * xi, axis=(-2, -1)))
+    # S over the dualized rows: dyn l=u → u·y; ineq y≥0 → u·[y]₊ = u·y
+    S = jnp.sum(u[..., :, :nbox] * y[..., :, :nbox], axis=(-2, -1))
+    return f0 + tangent - S
+
+
+def _implied_box_stage(sw: StagewiseQP, l, u, passes: int = 2):
+    """Implied variable boxes for the tangent bound, from the per-stage
+    rows. Stage-k hard rows over ζ_k = (x_k, v_k, x_{k+1}):
+
+        ineq_k:  E x_k + Fv v_k ≤ u_ineq_k        (soft rows masked out)
+        dyn_k:  ±(x_{k+1} − A x_k − Bv v_k) ≤ ±rhs_dyn_k   (equality)
+
+    x_k is ξ_{k−1}'s x block (box [0,0] at k=0 — the data x_0's terms
+    are already folded into l/u by the assembler, so its columns are
+    vacuous). All stages tighten in parallel (shared matrix, vmapped
+    interval pass); ``passes`` outer rounds propagate information
+    across neighbouring stages through the shared x blocks."""
+    from pyhybridcontrol_tpu.ops.admm import _implied_box
+
+    nx, nc, nv, N = sw.nx, sw.nc, sw.nv, sw.N
+    nbox = nx + nc
+    Z = jnp.zeros((nc, nx), l.dtype)
+    I = jnp.eye(nx, dtype=l.dtype)
+    M = jnp.concatenate([
+        jnp.concatenate([sw.E, sw.Fv, Z], axis=1),
+        jnp.concatenate([-sw.A_dyn, -sw.Bv, I], axis=1),
+        jnp.concatenate([sw.A_dyn, sw.Bv, -I], axis=1),
+    ], axis=0)                                    # (nc+2nx, nx+nv+nx)
+    u_ineq = u[..., :, nx:nbox]
+    if sw.has_soft:
+        soft_i = ((sw.soft_lin > 0)
+                  | (sw.soft_quad > 0))[..., :, nx:nbox]
+        u_ineq = jnp.where(soft_i, BIG, u_ineq)
+    rhs_dyn = u[..., :, :nx]
+    rhs = jnp.concatenate([u_ineq, rhs_dyn, -rhs_dyn], axis=-1)
+    lb_box = l[..., :, nbox:]                     # (…, N, b) [v_k; x_{k+1}]
+    ub_box = u[..., :, nbox:]
+    for _ in range(passes):
+        lx = lb_box[..., :, nv:]                  # x_{k+1} boxes
+        ux = ub_box[..., :, nv:]
+        zero = jnp.zeros_like(lx[..., :1, :])
+        lxp = jnp.concatenate([zero, lx[..., :-1, :]], axis=-2)  # x_k
+        uxp = jnp.concatenate([zero, ux[..., :-1, :]], axis=-2)
+        lz = jnp.concatenate([lxp, lb_box], axis=-1)  # (…, N, nx+b)
+        uz = jnp.concatenate([uxp, ub_box], axis=-1)
+        lz, uz = _implied_box(M, rhs, lz, uz, passes=1)
+        # v_k and x_{k+1} from stage k; x_{k+1} also from stage k+1's
+        # leading x_k columns (shift back) — intersect.
+        lb_box = lz[..., :, nx:]
+        ub_box = uz[..., :, nx:]
+        lx_from_next = jnp.concatenate(
+            [lz[..., 1:, :nx],
+             jnp.full_like(lz[..., :1, :nx], -BIG)], axis=-2)
+        ux_from_next = jnp.concatenate(
+            [uz[..., 1:, :nx],
+             jnp.full_like(uz[..., :1, :nx], BIG)], axis=-2)
+        lb_box = lb_box.at[..., :, nv:].max(lx_from_next)
+        ub_box = ub_box.at[..., :, nv:].min(ux_from_next)
+    return lb_box, ub_box
 
 
 def assemble_stagewise(sw: StagewiseQP, x0, W=None, price_seq=None,
