@@ -20,6 +20,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--instances", type=int, default=6)
     ap.add_argument("--rel-tol", type=float, default=2e-3)
+    ap.add_argument("--families", type=str, default=None,
+                    help="comma-separated family subset (dev only; the "
+                         "report is written only for a FULL sweep)")
     args = ap.parse_args()
 
     import jax
@@ -85,9 +88,18 @@ def main():
             model=dewh_model(dp), w=dewh_weights(), N=6, x0=x0_dewh,
             price=lambda N: dewh_energy_price_seq(
                 np.full(N, 0.15), dp, nv=dewh_model(dp).info.nv)),
+        # battery objectives are O(0.1): an incumbent accepted at the
+        # default feas_tol=1e-3 residual carries an ~1e-3 objective
+        # error — larger than this family's 5e-4 margin. Battery's
+        # well-conditioned probes converge to ~7e-7 (BnbSpec.inc_tol
+        # doc), so the strict incumbent tolerance is safe HERE (it is
+        # NOT safe globally: degenerate pwa_spring probes plateau near
+        # 1e-4 and a global inc_tol=5e-5 made them fail at 0.09 rel).
         "battery_N6": dict(
             model=battery_model(bp), w=battery_weights(q_soc=2.0), N=6,
             x0=x0_batt,
+            spec=BnbSpec(capacity=256, wave_size=32, qp_iters=400,
+                         probe_iters=2000, max_waves=48, inc_tol=1e-5),
             price=lambda N: battery_price_seq(
                 np.full(N, 0.12), bp, nv=battery_model(bp).info.nv)),
         # transform paths: the condensation transforms reshape the QP
@@ -160,11 +172,48 @@ def main():
         model=omega_di, w=default_weights(), N=4, x0=x0_di,
         instances=4, solve=_tree_solves(consensus=True))
 
+    def _pooled_batch(n_inst):
+        """Pooled multi-instance driver (solver/bnb_pooled.py): one
+        global node pool over the batch — per-instance incumbents must
+        match the oracle exactly like the per-instance driver's."""
+        from pyhybridcontrol_tpu.solver.bnb_pooled import (
+            solve_miqp_bnb_pooled)
+
+        model = switched_double_integrator()
+        c = CondensedMpc(model, 8, default_weights())
+        qp, admm = c.device_qp(), prepare_admm_mpc(c)
+        probe = prepare_admm_mpc(c, rho=10.0)
+        x0s = np.stack([x0_di().astype(np.float32)
+                        for _ in range(n_inst)])
+        f, h = jax.vmap(qp.assemble)(jnp.asarray(x0s))
+        r = solve_miqp_bnb_pooled(
+            admm, qp, f, h,
+            BnbSpec(capacity=256, wave_size=32, qp_iters=400,
+                    probe_iters=2000, max_waves=256),
+            pool_slots=1024, admm_probe=probe)
+        rows = []
+        for i in range(n_inst):
+            fo, ho = c.assemble_np(x0s[i])
+            orc = solve_miqp_enumeration_oracle(
+                c.H, fo, c.G, ho, c.lb, c.ub, c.binary_idx)
+
+            class _R:
+                obj = float(r.obj[i])
+                found = bool(r.found[i])
+                nodes_solved = int(r.nodes_solved)
+            rows.append((x0s[i], _R, orc))
+        return rows
+
+    families["di_pooled_N8"] = dict(
+        model=None, w=None, N=8, x0=x0_di, instances=6,
+        batch_solve=_pooled_batch)
+
     # per-family worst-margin ceilings (VERDICT round-1 item 9):
     # non-degenerate families must sit well inside the global rel-tol
     # so one numerics regression cannot silently eat the whole margin.
     MARGINS = {
         "double_integrator_N8": 5e-4,
+        "di_pooled_N8": 5e-4,
         "battery_N6": 5e-4,
         "di_moveblock_N8": 5e-4,
         "di_block_soft_N8": 1e-3,
@@ -172,6 +221,13 @@ def main():
         "dewh_N6": 1e-3,        # binary state aux rows
         # degenerate big-M leaves / joint trees keep the global tol
     }
+
+    if args.families is not None:
+        keep = {s.strip() for s in args.families.split(",")}
+        unknown = keep - set(families)
+        if unknown:
+            sys.exit(f"unknown families: {sorted(unknown)}")
+        families = {k: v for k, v in families.items() if k in keep}
 
     report = {}
     worst = 0.0
@@ -182,8 +238,9 @@ def main():
         n_inst = fam.get("instances", args.instances)
         fspec = fam.get("spec", spec)
         margin = MARGINS.get(name, args.rel_tol)
+        batch_hook = fam.get("batch_solve")
         solve_hook = fam.get("solve")
-        if solve_hook is None:
+        if batch_hook is None and solve_hook is None:
             c = CondensedMpc(model, N, w)
             if fam.get("transform") is not None:
                 c = fam["transform"](c)
@@ -196,11 +253,17 @@ def main():
                      else None)
         price = fam.get("price")
         rows = []
+        batch_rows = batch_hook(n_inst) if batch_hook is not None else None
         for t in range(n_inst):
-            x0 = fam["x0"]().astype(np.float32)
+            if batch_rows is not None:
+                x0, r, orc = batch_rows[t]
+            else:
+                x0 = fam["x0"]().astype(np.float32)
             pq = (price(N).astype(np.float32)
                   if price is not None else None)
-            if solve_hook is not None:
+            if batch_rows is not None:
+                pass
+            elif solve_hook is not None:
                 r, orc = solve_hook(x0, pq)
             else:
                 f, h = qp.assemble(jnp.asarray(x0),
@@ -244,6 +307,10 @@ def main():
         report[name] = rows
 
     n_total = sum(len(v) for v in report.values())
+    if args.families is not None:
+        print(f"\n[subset run] {n_total} instances; worst "
+              f"{worst:.2e}; failures {failures} (report NOT written)")
+        return 0 if failures == 0 else 1
     with open(os.path.join(_repo, "PARITY_REPORT.json"), "w") as fp:
         json.dump(dict(rel_tol=args.rel_tol, worst_rel_delta=worst,
                        margins={k: MARGINS.get(k, args.rel_tol)
