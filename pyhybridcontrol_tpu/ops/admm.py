@@ -291,6 +291,16 @@ def admm_dual_bound(spec: BoxQP, q, h, lb, ub, res: AdmmResult):
 
     Returns the bound in ORIGINAL units, same leading batch as res.obj.
     """
+    return _falk_cert(spec, q, h, lb, ub, res)[0]
+
+
+def _falk_cert(spec: BoxQP, q, h, lb, ub, res: AdmmResult,
+               binary_idx=None):
+    """Shared Falk-cert computation (see ``admm_dual_bound``).
+
+    Returns ``(bound, extras)`` — extras is None unless ``binary_idx``
+    is given, in which case it is a tuple of per-binary node-presolve
+    data (see ``admm_node_cert``)."""
     prec = spec.precision
     c = spec.cost_scale
     qh = c * spec.D * q
@@ -315,11 +325,53 @@ def admm_dual_bound(spec: BoxQP, q, h, lb, ub, res: AdmmResult):
     lbh = jnp.clip(lb / spec.D, -BIG, BIG)
     ubh = jnp.clip(ub / spec.D, -BIG, BIG)
     lbh, ubh = _implied_box(spec.A[:m], uG, lbh, ubh, passes=2)
-    tangent = jnp.sum(jnp.minimum(grad * (lbh - xh), grad * (ubh - xh)),
-                      axis=-1)
+    lo_t = grad * (lbh - xh)
+    hi_t = grad * (ubh - xh)
+    used = jnp.minimum(lo_t, hi_t)
+    tangent = jnp.sum(used, axis=-1)
     f0 = 0.5 * jnp.sum(xh * mm(xh, spec.P.T), axis=-1) \
         + jnp.sum(w * xh, axis=-1)
-    return (f0 + tangent - jnp.sum(yG * uG, axis=-1)) / c
+    bound = (f0 + tangent - jnp.sum(yG * uG, axis=-1)) / c
+    if binary_idx is None:
+        return bound, None
+    bidx = jnp.asarray(binary_idx)
+    Db = spec.D[bidx]
+    gb = grad[..., bidx]
+    xb = xh[..., bidx]
+    ub_used = used[..., bidx]
+    # tangent-retained integral side, and the certified objective DELTA
+    # of forcing the binary to the OTHER side: the flipped subproblem's
+    # tangent term is exact (the coordinate is a point), every other
+    # term is unchanged, so  bound_flip = bound + flip_delta  is a
+    # valid lower bound for the forced-flip child (reduced-cost fixing)
+    retain = (gb < 0.0).astype(res.x.dtype)       # grad≥0 → keep 0-side
+    flipval = (1.0 - retain) / Db                 # opposite side, x̂
+    flip_delta = (gb * (flipval - xb) - ub_used) / c
+    # implied binary box back in 0/1 units (implied-integrality fixing)
+    imp_lo = lbh[..., bidx] * Db
+    imp_hi = ubh[..., bidx] * Db
+    return bound, (flip_delta, retain, imp_lo, imp_hi)
+
+
+def admm_node_cert(spec: BoxQP, q, h, lb, ub, res: AdmmResult,
+                   binary_idx):
+    """Falk cert plus per-binary node-presolve data.
+
+    Returns ``(bound, flip_delta, retain_side, imp_lo, imp_hi)``, all
+    with res.obj's leading batch plus a trailing (nb,) axis:
+
+    - ``flip_delta`` ≥ 0: certified objective increase of forcing the
+      binary to the side OPPOSITE the tangent's choice — with incumbent
+      U, ``bound + flip_delta ≥ U − gap`` proves the flip side cannot
+      beat the incumbent, so the binary may be fixed to ``retain_side``
+      at this node and all descendants (reduced-cost fixing).
+    - ``imp_lo``/``imp_hi``: the binary's implied box in 0/1 units —
+      ``imp_lo > ε`` proves every feasible point has the binary at 1,
+      ``imp_hi < 1−ε`` at 0 (implied-integrality fixing).
+    """
+    bound, extras = _falk_cert(spec, q, h, lb, ub, res,
+                               binary_idx=binary_idx)
+    return (bound,) + extras
 
 
 def _implied_box(A, u, lbh, ubh, passes: int = 2):

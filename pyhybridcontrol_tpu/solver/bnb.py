@@ -107,6 +107,15 @@ class CondensedBackend:
 
         return admm_dual_bound(self.admm, f, h, lb, ub, res)
 
+    def node_cert(self, res, f, h, lb, ub):
+        """Falk cert + per-binary presolve data (ops/admm.py
+        ``admm_node_cert``): reduced-cost flip deltas and implied
+        binary boxes — enables node-presolve fixing in the wave loop."""
+        from pyhybridcontrol_tpu.ops.admm import admm_node_cert
+
+        return admm_node_cert(self.admm, f, h, lb, ub, res,
+                              self.binary_idx)
+
     def broadcast_data(self, f, h, W):
         return (jnp.broadcast_to(f, (W,) + f.shape),
                 jnp.broadcast_to(h, (W,) + h.shape))
@@ -156,6 +165,14 @@ class BnbSpec:
     branching: str = "pseudocost"   # "pseudocost" (reliability-style
     # scores learned from observed bound degradations, most-fractional
     # fallback while uninitialized) or "most_frac" (round-1 behavior).
+    presolve_fix: bool = True    # node presolve from the Falk cert's
+    # per-binary data (backends exposing node_cert): reduced-cost
+    # fixing (bound + flip_delta_j ≥ incumbent − gap proves the flip
+    # side of binary j cannot win → fix to the tangent side) and
+    # implied-integrality fixing (the node's implied box excludes one
+    # integral value). Fixings apply to the node's children, shrinking
+    # the subtree; both are certificate-backed, so the returned optimum
+    # is unchanged (gap-semantics identical to bound pruning).
     root_iters: int = 0          # extra-converged root relaxation: the
     # root is ONE solve whose bound gates the entire search — if it
     # does not reach feas_tol within qp_iters, every descendant
@@ -378,7 +395,22 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
         converged = relax.r_prim_rel < spec.feas_tol
         infeasible = relax.infeas_cert | (relax.r_prim_rel > spec.infeas_tol)
         node_bound = getattr(backend, "node_bound", None)
-        if node_bound is not None:
+        node_cert = (getattr(backend, "node_cert", None)
+                     if spec.presolve_fix and nb > 0 else None)
+        presolve = None
+        if node_cert is not None:
+            # CERTIFIED dual bound + per-binary presolve data (flip
+            # deltas for reduced-cost fixing, implied binary boxes) —
+            # same price as node_bound plus a few elementwise ops.
+            cert, flip_delta, retain_side, imp_lo, imp_hi = node_cert(
+                relax, fb, hb, lb, ub)
+            presolve = (flip_delta, retain_side, imp_lo, imp_hi)
+            cert_fin = jnp.isfinite(cert)
+            cert = jnp.where(cert_fin, cert, parent_bound)
+            lower = jnp.where(valid & ~infeasible,
+                              jnp.maximum(parent_bound, cert), BIG)
+            bound_certified = True
+        elif node_bound is not None:
             # CERTIFIED dual bound (ops/admm.py admm_dual_bound): valid
             # for any iterate, so every node gets a usable bound and
             # bound-pruning needs no convergence gate. relax.obj of a
@@ -386,7 +418,8 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
             # relaxation value by ~1e-2 — enough to wrongly prune
             # optimal subtrees at gap=1e-4 (battery family, measured).
             cert = node_bound(relax, fb, hb, lb, ub)
-            cert = jnp.where(jnp.isfinite(cert), cert, parent_bound)
+            cert_fin = jnp.isfinite(cert)
+            cert = jnp.where(cert_fin, cert, parent_bound)
             lower = jnp.where(valid & ~infeasible,
                               jnp.maximum(parent_bound, cert), BIG)
             bound_certified = True
@@ -488,6 +521,31 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
                  | (converged & integral))
         expand = valid & ~prune
 
+        # -- 4b. node presolve (certificate-backed binary fixing) --------
+        if presolve is not None:
+            flip_delta, retain_side, imp_lo, imp_hi = presolve
+            unfixed = ~fm
+            ok_node = (valid & ~infeasible)[:, None]
+            # reduced-cost fixing: flipping binary j provably cannot
+            # beat the incumbent → fix j to the tangent-retained side
+            flip_bound = jnp.maximum(
+                parent_bound[:, None],
+                jnp.where(cert_fin[:, None], cert[:, None] + flip_delta,
+                          -BIG))
+            rc = (unfixed & ok_node & inc_found
+                  & (flip_bound >= inc_obj - spec.gap))
+            # implied-integrality fixing: the node's implied box
+            # excludes one integral value of the binary
+            imp1 = unfixed & ok_node & (imp_lo > 1e-2)
+            imp0 = unfixed & ok_node & (imp_hi < 1.0 - 1e-2)
+            newv = jnp.where(imp1, 1.0,
+                             jnp.where(imp0, 0.0,
+                                       jnp.where(rc, retain_side, fv)))
+            fm2 = fm | rc | imp0 | imp1
+            fv2 = jnp.where(fm, fv, newv)
+        else:
+            fm2, fv2 = fm, fv
+
         # -- 5. branch ---------------------------------------------------
         child_bound = jnp.maximum(parent_bound,
                                   jnp.where(converged, lower, parent_bound))
@@ -508,17 +566,22 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
             # keep genuinely fractional vars preferred over near-
             # integral ones regardless of cost estimates
             sc = sc * jnp.maximum(frac, 1e-4)
-            score = jnp.where(fm, -1.0, sc)
+            score = jnp.where(fm2, -1.0, sc)
         else:
-            score = jnp.where(fm, -1.0, frac)
+            score = jnp.where(fm2, -1.0, frac)
         jstar = jnp.argmax(score, axis=1)
-        branch_hot = jax.nn.one_hot(jstar, nb, dtype=bool)
-        cfm = fm | branch_hot
-        cfv0 = jnp.where(branch_hot, 0.0, fv)
-        cfv1 = jnp.where(branch_hot, 1.0, fv)
+        # presolve may fix EVERYTHING: the node becomes its own leaf —
+        # child-0 keeps (fm2, fv2) unbranched (probed/pruned when next
+        # selected), child-1 is dead.
+        has_branch = jnp.any(~fm2, axis=1)
+        branch_hot = (jax.nn.one_hot(jstar, nb, dtype=bool)
+                      & has_branch[:, None])
+        cfm = fm2 | branch_hot
+        cfv0 = jnp.where(branch_hot, 0.0, fv2)
+        cfv1 = jnp.where(branch_hot, 1.0, fv2)
         cdepth = s.depth[sel] + 1
         cbf = jnp.take_along_axis(xbc, jstar[:, None], axis=1)[:, 0]
-        cbv = jstar.astype(jnp.int32)
+        cbv = jnp.where(has_branch, jstar, -1).astype(jnp.int32)
 
         # deactivate all selected nodes, then write child-0 into the
         # parent slot (inactive when not expanding — scatter is unmasked
@@ -546,7 +609,7 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
         # Multi-device: the child-1 batch is exchanged across devices
         # first (load balancing — SURVEY.md §5 "node redistribution").
         c1 = dict(fm=cfm, fv=cfv1, bound=child_bound, depth=cdepth,
-                  live=expand, bv=cbv, bf=cbf)
+                  live=expand & has_branch, bv=cbv, bf=cbf)
         if spec.warm_start:
             c1.update(xw=relax.x, zw=relax.z, yw=relax.y)
         if exchange_children is not None:

@@ -220,11 +220,18 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
         converged = relax.r_prim_rel < spec.feas_tol
         infeasible = (relax.infeas_cert
                       | (relax.r_prim_rel > spec.infeas_tol))
-        # certified dual bound — valid for ANY iterate (ops/admm.py
-        # admm_dual_bound; see solver/bnb.py for why relax.obj alone
-        # wrongly prunes).
-        cert = backend.node_bound(relax, fb, hb, lb, ub)
-        cert = jnp.where(jnp.isfinite(cert), cert, parent_bound)
+        # certified dual bound + per-binary presolve data — valid for
+        # ANY iterate (ops/admm.py admm_node_cert; see solver/bnb.py
+        # for why relax.obj alone wrongly prunes).
+        if spec.presolve_fix and nb > 0:
+            cert, flip_delta, retain_side, imp_lo, imp_hi = \
+                backend.node_cert(relax, fb, hb, lb, ub)
+            presolve = (flip_delta, retain_side, imp_lo, imp_hi)
+        else:
+            cert = backend.node_bound(relax, fb, hb, lb, ub)
+            presolve = None
+        cert_fin = jnp.isfinite(cert)
+        cert = jnp.where(cert_fin, cert, parent_bound)
         lower = jnp.where(valid & ~infeasible,
                           jnp.maximum(parent_bound, cert), BIG)
 
@@ -283,6 +290,28 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
                  | (converged & integral))
         expand = valid & ~prune
 
+        # -- 4b. node presolve (see solver/bnb.py — per-INSTANCE
+        # incumbent gates the reduced-cost test here) ---------------------
+        if presolve is not None:
+            flip_delta, retain_side, imp_lo, imp_hi = presolve
+            unfixed = ~fm
+            ok_node = (valid & ~infeasible)[:, None]
+            flip_bound = jnp.maximum(
+                parent_bound[:, None],
+                jnp.where(cert_fin[:, None], cert[:, None] + flip_delta,
+                          -BIG))
+            rc = (unfixed & ok_node & inc_found[ni][:, None]
+                  & (flip_bound >= (inc_obj[ni] - spec.gap)[:, None]))
+            imp1 = unfixed & ok_node & (imp_lo > 1e-2)
+            imp0 = unfixed & ok_node & (imp_hi < 1.0 - 1e-2)
+            newv = jnp.where(imp1, 1.0,
+                             jnp.where(imp0, 0.0,
+                                       jnp.where(rc, retain_side, fv)))
+            fm2 = fm | rc | imp0 | imp1
+            fv2 = jnp.where(fm, fv, newv)
+        else:
+            fm2, fv2 = fm, fv
+
         # -- 5. branch ---------------------------------------------------
         child_bound = jnp.maximum(
             parent_bound, jnp.where(converged, lower, parent_bound))
@@ -297,17 +326,21 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
             sc = (jnp.maximum(est[None, :, 0] * xbc, 1e-8)
                   * jnp.maximum(est[None, :, 1] * (1.0 - xbc), 1e-8))
             sc = sc * jnp.maximum(frac, 1e-4)
-            score = jnp.where(fm, -1.0, sc)
+            score = jnp.where(fm2, -1.0, sc)
         else:
-            score = jnp.where(fm, -1.0, frac)
+            score = jnp.where(fm2, -1.0, frac)
         jstar = jnp.argmax(score, axis=1)
-        branch_hot = jax.nn.one_hot(jstar, nb, dtype=bool)
-        cfm = fm | branch_hot
-        cfv0 = jnp.where(branch_hot, 0.0, fv)
-        cfv1 = jnp.where(branch_hot, 1.0, fv)
+        # presolve may fix EVERYTHING: child-0 keeps (fm2, fv2) as its
+        # own leaf, child-1 is dead (see solver/bnb.py).
+        has_branch = jnp.any(~fm2, axis=1)
+        branch_hot = (jax.nn.one_hot(jstar, nb, dtype=bool)
+                      & has_branch[:, None])
+        cfm = fm2 | branch_hot
+        cfv0 = jnp.where(branch_hot, 0.0, fv2)
+        cfv1 = jnp.where(branch_hot, 1.0, fv2)
         cdepth = s.depth[sel] + 1
         cbf = jnp.take_along_axis(xbc, jstar[:, None], axis=1)[:, 0]
-        cbv = jstar.astype(jnp.int32)
+        cbv = jnp.where(has_branch, jstar, -1).astype(jnp.int32)
 
         # child-0 overwrites the parent slot (instance id unchanged)
         active = s.active.at[sel].set(False)
@@ -335,10 +368,11 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
         free_score = jnp.where(active, -1.0, 1.0)
         fs_val, free_slots = jax.lax.top_k(free_score, W)
         slot_free = fs_val > 0.0
-        order = jnp.argsort(jnp.where(expand, child_bound, BIG))
+        c1live = expand & has_branch
+        order = jnp.argsort(jnp.where(c1live, child_bound, BIG))
         tgt_c = free_slots
         src = order
-        write_ok = slot_free & expand[src]
+        write_ok = slot_free & c1live[src]
         tgt_safe = jnp.where(write_ok, tgt_c, P)
         inst_arr = s.inst.at[tgt_safe].set(ni[src], mode="drop")
         fix_mask = fix_mask.at[tgt_safe].set(cfm[src], mode="drop")
@@ -353,7 +387,7 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
             x_pool = x_pool.at[tgt_safe].set(relax.x[src], mode="drop")
             z_pool = z_pool.at[tgt_safe].set(relax.z[src], mode="drop")
             y_pool = y_pool.at[tgt_safe].set(relax.y[src], mode="drop")
-        overflow = s.overflow | jnp.any(expand[src] & ~slot_free)
+        overflow = s.overflow | jnp.any(c1live[src] & ~slot_free)
 
         alive = jnp.any(active)
         best_open = jnp.full((B,), BIG, dtype).at[inst_arr].min(

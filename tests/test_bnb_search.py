@@ -112,3 +112,65 @@ def test_sharded_rel_gap_lockstep(prob):
     assert bool(np.asarray(r.found).ravel()[0])
     np.testing.assert_allclose(float(np.asarray(r.obj).ravel()[0]),
                                float(solo.obj), rtol=1e-4, atol=1e-4)
+
+
+def test_presolve_fix_preserves_optimum(prob):
+    """Node presolve (reduced-cost + implied-integrality fixing from the
+    Falk cert, BnbSpec.presolve_fix) must return the same optimum."""
+    qp, admm, f, h = prob
+    on = solve_miqp_bnb(admm, qp, f, h, _base(presolve_fix=True))
+    off = solve_miqp_bnb(admm, qp, f, h, _base(presolve_fix=False))
+    assert bool(on.found) and bool(off.found)
+    np.testing.assert_allclose(float(on.obj), float(off.obj),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_presolve_fix_shrinks_uc_tree():
+    """Min-up/down unit-commitment rows are where implied-integrality
+    fixing propagates: the config-3-style DEWH problem must solve with
+    a much smaller tree at the identical incumbent (measured 844 -> 28
+    mean nodes over the closed loop; single solve asserted >=3x here)."""
+    from pyhybridcontrol_tpu.loop.closed_loop import (
+        closed_loop, make_mpc_step)
+    from pyhybridcontrol_tpu.models.dewh import (
+        DewhParams, dewh_energy_price_seq, dewh_model, dewh_weights,
+        min_up_down_rows)
+
+    p = DewhParams()
+    m = dewh_model(p)
+    N = 24
+    c = CondensedMpc(m, N, dewh_weights())
+    A_v, bex = min_up_down_rows(N, m.info.nv, min_up=2)
+    c = c.with_extra_constraints(A_v, bex)
+    c = c.with_move_blocking([k // 2 for k in range(N)])
+    nc = m.info.ncons
+    c = c.with_soft_constraints(
+        [k * nc + r for k in range(N) for r in (0, 1)],
+        lin_pen=5.0, quad_pen=1.0)
+    qp, admm = c.device_qp(), prepare_admm_mpc(c)
+    probe = prepare_admm_mpc(c, rho=10.0)
+    T = 6
+    rng = np.random.default_rng(0)
+    draws = (0.5 * (rng.uniform(0, 1, (T + N, 1)) < 0.25)
+             ).astype(np.float32)
+    prices = dewh_energy_price_seq(np.full(T + N, 0.15), p,
+                                   nv=m.info.nv).astype(np.float32)
+    kw = dict(capacity=512, wave_size=64, max_waves=32, qp_iters=200,
+              gap=1e-3)
+    out = {}
+    for pf in (True, False):
+        step = make_mpc_step(m, qp, admm, method="bnb",
+                             bnb_spec=BnbSpec(presolve_fix=pf, **kw),
+                             admm_probe=probe)
+        out[pf] = closed_loop(m, step, jnp.asarray([55.0, 0.0]), T,
+                              omega_traj=jnp.asarray(draws),
+                              price_traj=jnp.asarray(prices))
+    on, off = out[True], out[False]
+    assert bool(np.all(np.asarray(on.found)))
+    assert bool(np.all(np.asarray(off.found)))
+    # identical control trajectory, >=3x fewer nodes over the loop
+    np.testing.assert_allclose(np.asarray(on.vs), np.asarray(off.vs),
+                               rtol=1e-3, atol=1e-3)
+    n_on = int(np.sum(np.asarray(on.nodes)))
+    n_off = int(np.sum(np.asarray(off.nodes)))
+    assert n_on * 3 <= n_off, (n_on, n_off)
