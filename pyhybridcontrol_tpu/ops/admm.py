@@ -314,8 +314,8 @@ def _falk_cert(spec: BoxQP, q, h, lb, ub, res: AdmmResult,
     # duals are the nonnegative ones; clamping is always valid.
     yG = jnp.maximum(res.y[..., :m], 0.0)
     uG = h * spec.E[:m]
-    w = qh + mm(yG, spec.A[:m])
-    grad = mm(xh, spec.P.T) + w
+    dirv = mm(yG, spec.A[:m])
+    Px = mm(xh, spec.P.T)
     # variable box in the x̂ frame (x = D x̂). Big-M condensed QPs leave
     # u/z auxiliaries formally unbounded (pwa_spring: 18/27 vars) while
     # the G rows bound them (z ≤ Mδ …) — without finite boxes the
@@ -325,13 +325,28 @@ def _falk_cert(spec: BoxQP, q, h, lb, ub, res: AdmmResult,
     lbh = jnp.clip(lb / spec.D, -BIG, BIG)
     ubh = jnp.clip(ub / spec.D, -BIG, BIG)
     lbh, ubh = _implied_box(spec.A[:m], uG, lbh, ubh, passes=2)
-    lo_t = grad * (lbh - xh)
-    hi_t = grad * (ubh - xh)
-    used = jnp.minimum(lo_t, hi_t)
-    tangent = jnp.sum(used, axis=-1)
-    f0 = 0.5 * jnp.sum(xh * mm(xh, spec.P.T), axis=-1) \
-        + jnp.sum(w * xh, axis=-1)
-    bound = (f0 + tangent - jnp.sum(yG * uG, axis=-1)) / c
+    # dual line search: g(α·y_G) is concave in α and the bound is valid
+    # for every α ≥ 0 — take the per-element max over a few candidates.
+    # Mid-convergence ADMM duals are often actively harmful (pwa root
+    # at 200 iters: α=1 gives −78, α=0 gives the TIGHT bound −4.6e-5);
+    # converged duals want α=1. The matmuls (Âᵀy_G, P̂x̄) are shared, so
+    # extra candidates cost only elementwise work.
+    f0q = 0.5 * jnp.sum(xh * Px, axis=-1)
+    S1 = jnp.sum(yG * uG, axis=-1)
+    bound = grad = used = None
+    for a in (0.0, 0.5, 1.0):
+        w_a = qh + a * dirv if a else qh
+        grad_a = Px + w_a
+        used_a = jnp.minimum(grad_a * (lbh - xh), grad_a * (ubh - xh))
+        bound_a = (f0q + jnp.sum(w_a * xh, axis=-1)
+                   + jnp.sum(used_a, axis=-1) - a * S1) / c
+        if bound is None:
+            bound, grad, used = bound_a, grad_a, used_a
+        else:
+            take = bound_a > bound
+            bound = jnp.where(take, bound_a, bound)
+            grad = jnp.where(take[..., None], grad_a, grad)
+            used = jnp.where(take[..., None], used_a, used)
     if binary_idx is None:
         return bound, None
     bidx = jnp.asarray(binary_idx)
