@@ -13,10 +13,15 @@ checked for search parity.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _repo not in sys.path:
+    sys.path.insert(0, _repo)
 
 
 def main():
@@ -54,7 +59,10 @@ def main():
         from pyhybridcontrol_tpu.solver.bnb_pooled import (
             solve_miqp_bnb_pooled)
 
-        spec = BnbSpec(capacity=64, wave_size=W,
+        # the pooled driver sizes its pool from pool_slots, not
+        # spec.capacity — capacity only needs to satisfy the
+        # wave_size <= capacity construction check
+        spec = BnbSpec(capacity=W, wave_size=W,
                        max_waves=4096, qp_iters=100)
 
         def run(f_, h_):
