@@ -43,7 +43,12 @@ def _build_pwa():
     from pyhybridcontrol_tpu.models.pwa_examples import (
         pwa_spring_mld, pwa_weights)
 
-    model = pwa_spring_mld(on_off=True)
+    # hull (disaggregated) PWA encoding: the big-M form's relaxation is
+    # structurally loose (root bound 0 vs optimum ~62) — its B&B shipped
+    # a 34% WORSE incumbent (82.78 vs 61.90, N=20) with an infinite
+    # certified gap. The hull relaxation bounds at 57.2 → real pruning,
+    # better incumbents, finite reported gaps. (mld/pwa.py)
+    model = pwa_spring_mld(on_off=True, formulation="hull")
     return model, dict(weights=pwa_weights())
 
 

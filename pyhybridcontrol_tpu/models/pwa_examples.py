@@ -42,15 +42,21 @@ def pwa_spring_system(Ts: float = 0.1, k_soft: float = 1.0,
 
 
 def pwa_spring_mld(Ts: float = 0.1, u_max: float = 2.0,
-                   on_off: bool = True) -> MldModel:
+                   on_off: bool = True,
+                   formulation: str = "bigm") -> MldModel:
     """Config-2 model: PWA→MLD + optional on/off actuator gating.
 
     With gating: u = [u_force (cont), u_on (bin)], effective force
     w = u_on·u_force enters the PWA dynamics; encoded via auxiliary z_g
     with big-M = u_max.
+
+    ``formulation`` passes through to ``pwa_to_mld`` — "hull" gives the
+    locally-ideal disaggregated encoding (the gating wrapper composes
+    unchanged: it transplants ALL u-dependence, which for the hull
+    lives in the u-aggregation and u-box rows, onto z_g).
     """
     sys = pwa_spring_system(Ts=Ts, u_max=u_max)
-    base = pwa_to_mld(sys)
+    base = pwa_to_mld(sys, formulation=formulation)
     if not on_off:
         return base
     m = base.numpy_mats()

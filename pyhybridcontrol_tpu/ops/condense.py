@@ -442,6 +442,27 @@ class CondensedMpc:
         c.lb, c.ub, c.binary_mask = lb, ub, bm
         return c
 
+    def with_root_presolve(self, passes: int = 3) -> "CondensedMpc":
+        """Root presolve (ops/presolve.py): fp64 interval bound
+        tightening + big-M coefficient tightening over the constant-rhs
+        rows. The MIQP's binary slices are preserved exactly, so the
+        optimum is unchanged, while every QP relaxation in the B&B tree
+        gets tighter (big-M product rows are the structural-looseness
+        source — pwa_spring root bound 0.0 vs optimum ~73 without it).
+        Apply LAST, after every other transform (it reads the final
+        G/lb/ub frame); row/column layout is unchanged, so z-row
+        boosts and warm-start frames compose untouched."""
+        from pyhybridcontrol_tpu.ops.presolve import tighten_condensed
+
+        const_rows = ((np.abs(self.Hx).sum(axis=1) == 0)
+                      & (np.abs(self.Hw).sum(axis=1) == 0))
+        G, h0, lb, ub = tighten_condensed(
+            self.G, self.h0, self.lb, self.ub, self.binary_mask,
+            const_rows, passes=passes)
+        c = self._clone()
+        c.G, c.h0, c.lb, c.ub = G, h0, lb, ub
+        return c
+
     def with_extra_constraints(self, A_v: np.ndarray, b: np.ndarray,
                                B_x: Optional[np.ndarray] = None,
                                B_w: Optional[np.ndarray] = None

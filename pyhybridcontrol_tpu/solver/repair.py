@@ -264,7 +264,8 @@ def repair_sequence(spec: RepairSpec, x0, u_ref_seq, W=None,
 
 def root_repair_incumbent(admm, qp, rspec: RepairSpec, x0, f, h,
                           W=None, price_seq=None, qp_iters: int = 150,
-                          layout: str = "plain", feas_tol: float = 1e-3):
+                          layout: str = "plain", feas_tol: float = 1e-3,
+                          stage_iters: int = 150):
     """Root-relaxation + greedy repair → B&B incumbent seed
     ``(obj, V, ok)`` in the solver's decision frame.
 
@@ -276,8 +277,11 @@ def root_repair_incumbent(admm, qp, rspec: RepairSpec, x0, f, h,
     relax = admm_solve(admm, f, h, qp.lb, qp.ub, iters=qp_iters)
     v_seq_rel = qp.full_v(relax.x)                      # (N, nv)
     u_ref = v_seq_rel[:, rspec.cont_idx]
+    # stage_iters: 60 suffices for big-M stage QPs, but disaggregated
+    # (hull) stages carry per-region copies + aggregation rows and need
+    # ~150 to clear feas_tol (measured: 60 → resid 1.0, 150 → 1.7e-5)
     v_seq, ok = repair_sequence(rspec, x0, u_ref, W=W,
-                                price_seq=price_seq, qp_iters=60,
+                                price_seq=price_seq, qp_iters=stage_iters,
                                 feas_tol=feas_tol)
     v_flat = v_seq.reshape(-1)
     if layout == "plain":

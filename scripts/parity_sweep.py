@@ -84,6 +84,15 @@ def main():
             x0=x0_pwa, instances=2,
             spec=BnbSpec(capacity=2048, wave_size=64, qp_iters=400,
                          probe_iters=4000, max_waves=64)),
+        # hull (disaggregated) PWA encoding — the config-2 production
+        # formulation (configs/benchmarks.py): same MIQP as bigm, so
+        # the SAME oracle criterion applies; its tight relaxations are
+        # well-conditioned, so the margin is the standard 5e-4.
+        "pwa_hull_N3": dict(
+            model=pwa_spring_mld(on_off=True, formulation="hull"),
+            w=pwa_weights(), N=3, x0=x0_pwa, instances=2,
+            spec=BnbSpec(capacity=2048, wave_size=64, qp_iters=400,
+                         probe_iters=4000, max_waves=64)),
         "dewh_N6": dict(
             model=dewh_model(dp), w=dewh_weights(), N=6, x0=x0_dewh,
             price=lambda N: dewh_energy_price_seq(
@@ -214,6 +223,7 @@ def main():
     MARGINS = {
         "double_integrator_N8": 5e-4,
         "di_pooled_N8": 5e-4,
+        "pwa_hull_N3": 5e-4,
         "battery_N6": 5e-4,
         "di_moveblock_N8": 5e-4,
         "di_block_soft_N8": 1e-3,

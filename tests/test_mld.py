@@ -201,3 +201,83 @@ def test_from_sympy_template():
                                [[0.0], [0.125]], rtol=1e-6)
     with pytest.raises(ValueError):
         tmpl.materialize(Ts=0.25)      # missing tau
+
+
+# ---- PWA → MLD hull (disaggregated) formulation -------------------------
+
+def test_pwa_hull_equivalence_random_points(rng):
+    """Hull encoding exactness: at integral δ the copies reconstruct
+    (x, u) and the dynamics row gives the exact PWA successor."""
+    sys = _two_region_pwa()
+    m = pwa_to_mld(sys, formulation="hull")
+    assert m.info.ndelta == 2 and m.info.nz == 2 * 3
+    for _ in range(30):
+        x = rng.uniform(-1.9, 1.9, size=2)
+        u = rng.uniform(-0.9, 0.9, size=1)
+        if abs(x[0]) < 1e-6:
+            continue
+        want = sys.simulate_step(x, u)
+        active = 0 if x[0] >= 0 else 1
+        delta = np.zeros(2)
+        delta[active] = 1.0
+        z = np.zeros(6)                       # copies (v^x, v^u) per region
+        z[active * 3: active * 3 + 2] = x
+        z[active * 3 + 2] = u[0]
+        r = m.constraint_residual(
+            jnp.asarray(x, jnp.float32), jnp.asarray(u, jnp.float32),
+            jnp.asarray(delta, jnp.float32), jnp.asarray(z, jnp.float32))
+        assert np.max(np.asarray(r)) <= 1e-4, "feasible point rejected"
+        got = m.step(jnp.asarray(x, jnp.float32),
+                     jnp.asarray(u, jnp.float32),
+                     jnp.asarray(delta, jnp.float32),
+                     jnp.asarray(z, jnp.float32))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_pwa_hull_rejects_wrong_region(rng):
+    sys = _two_region_pwa()
+    m = pwa_to_mld(sys, formulation="hull")
+    x = np.array([1.0, 0.0])      # region 1 active
+    u = np.array([0.0])
+    delta = np.array([0.0, 1.0])  # claim region 2
+    z = np.zeros(6)
+    z[3:5] = x
+    z[5] = u[0]
+    r = m.constraint_residual(
+        jnp.asarray(x, jnp.float32), jnp.asarray(u, jnp.float32),
+        jnp.asarray(delta, jnp.float32), jnp.asarray(z, jnp.float32))
+    assert np.max(np.asarray(r)) > 1e-3, "wrong-region point accepted"
+
+
+def test_pwa_hull_leaf_matches_bigm_leaf():
+    """The two formulations encode the SAME MIQP: at any consistent
+    fixed binary pattern the leaf QP optima must agree (fp64)."""
+    import scipy.optimize as sopt
+
+    from pyhybridcontrol_tpu.models.pwa_examples import (
+        pwa_spring_mld, pwa_weights)
+    from pyhybridcontrol_tpu.ops.condense import CondensedMpc
+
+    x0 = np.array([1.5, 0.0])
+    w = pwa_weights()
+    N = 4
+    bits = np.tile([1.0, 1.0, 0.0], N)    # actuator on, region 1
+
+    def leaf(model):
+        c = CondensedMpc(model, N, w)
+        fo, ho = c.assemble_np(x0)
+        lb = np.array(c.lb); ub = np.array(c.ub)
+        lb[c.binary_idx] = ub[c.binary_idx] = bits
+        n = c.H.shape[0]
+        r = sopt.minimize(
+            lambda V: 0.5 * V @ c.H @ V + fo @ V, np.zeros(n),
+            jac=lambda V: c.H @ V + fo,
+            constraints=[sopt.LinearConstraint(c.G, -np.inf, ho)],
+            bounds=sopt.Bounds(lb, ub), method="SLSQP",
+            options=dict(maxiter=800, ftol=1e-12))
+        assert r.status == 0, r.message
+        return r.fun
+
+    ob = leaf(pwa_spring_mld(on_off=True, formulation="bigm"))
+    oh = leaf(pwa_spring_mld(on_off=True, formulation="hull"))
+    np.testing.assert_allclose(ob, oh, rtol=1e-6, atol=1e-6)
