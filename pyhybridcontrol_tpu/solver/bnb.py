@@ -547,8 +547,16 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
             fm2, fv2 = fm, fv
 
         # -- 5. branch ---------------------------------------------------
-        child_bound = jnp.maximum(parent_bound,
-                                  jnp.where(converged, lower, parent_bound))
+        # certified bounds are valid at ANY iterate — children inherit
+        # them unconditionally; only the uncertified fallback needs the
+        # convergence gate.
+        if bound_certified:
+            child_bound = jnp.where(expand, jnp.maximum(parent_bound,
+                                                        lower),
+                                    parent_bound)
+        else:
+            child_bound = jnp.maximum(
+                parent_bound, jnp.where(converged, lower, parent_bound))
         xbc = jnp.clip(xb, 0.0, 1.0)
         if spec.branching == "pseudocost":
             # product rule over estimated down/up degradations; vars

@@ -313,8 +313,11 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
             fm2, fv2 = fm, fv
 
         # -- 5. branch ---------------------------------------------------
-        child_bound = jnp.maximum(
-            parent_bound, jnp.where(converged, lower, parent_bound))
+        # certified bounds are valid at ANY iterate — children inherit
+        # them unconditionally (see solver/bnb.py).
+        child_bound = jnp.where(expand,
+                                jnp.maximum(parent_bound, lower),
+                                parent_bound)
         xbc = jnp.clip(xb, 0.0, 1.0)
         if spec.branching == "pseudocost":
             cnt_tot = jnp.sum(pc_cnt, axis=0)

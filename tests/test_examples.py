@@ -62,3 +62,9 @@ def test_scenario_tree_study():
                "--horizon", "4")
     assert "study ok: True" in out
     assert "hedging value" in out
+
+
+def test_pwa_formulation_study():
+    out = _run("pwa_formulation_study.py", "--N", "6", "--waves", "6",
+               timeout=420)
+    assert "hull <= bigm: True" in out
