@@ -164,7 +164,11 @@ class BnbSpec:
     # probe (that is how leaves produce incumbents).
     branching: str = "pseudocost"   # "pseudocost" (reliability-style
     # scores learned from observed bound degradations, most-fractional
-    # fallback while uninitialized) or "most_frac" (round-1 behavior).
+    # fallback while uninitialized), "most_frac" (round-1 behavior), or
+    # "flipdelta" (certified one-sided strong-branching score from the
+    # Falk cert's flip deltas — free; measured −23% nodes on UC/dewh,
+    # but WORSE on hull-PWA where one-sided scores mislead, hence not
+    # the default; needs presolve_fix, falls back to most_frac).
     presolve_fix: bool = True    # node presolve from the Falk cert's
     # per-binary data (backends exposing node_cert): reduced-cost
     # fixing (bound + flip_delta_j ≥ incumbent − gap proves the flip
@@ -192,7 +196,7 @@ class BnbSpec:
                 f"capacity ({self.capacity})")
         if self.capacity < 2 or self.wave_size < 1:
             raise ValueError("need capacity >= 2 and wave_size >= 1")
-        if self.branching not in ("pseudocost", "most_frac"):
+        if self.branching not in ("pseudocost", "most_frac", "flipdelta"):
             raise ValueError(f"unknown branching {self.branching!r}")
         if self.rel_gap < 0 or self.probe_patience < 0:
             raise ValueError("rel_gap and probe_patience must be >= 0")
@@ -575,6 +579,13 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
             # integral ones regardless of cost estimates
             sc = sc * jnp.maximum(frac, 1e-4)
             score = jnp.where(fm2, -1.0, sc)
+        elif spec.branching == "flipdelta" and presolve is not None:
+            # certified one-sided strong-branching score for free: the
+            # Falk flip delta is the PROVEN bound increase of the
+            # tangent-disfavoured child. Blend with fractionality so
+            # integral-but-stiff vars don't dominate.
+            score = jnp.where(fm2, -1.0,
+                              flip_delta * jnp.maximum(frac, 1e-4))
         else:
             score = jnp.where(fm2, -1.0, frac)
         jstar = jnp.argmax(score, axis=1)

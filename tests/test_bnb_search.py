@@ -174,3 +174,12 @@ def test_presolve_fix_shrinks_uc_tree():
     n_on = int(np.sum(np.asarray(on.nodes)))
     n_off = int(np.sum(np.asarray(off.nodes)))
     assert n_on * 3 <= n_off, (n_on, n_off)
+
+
+def test_flipdelta_branching_preserves_optimum(prob):
+    qp, admm, f, h = prob
+    fd = solve_miqp_bnb(admm, qp, f, h, _base(branching="flipdelta"))
+    pc = solve_miqp_bnb(admm, qp, f, h, _base())
+    assert bool(fd.found) and bool(pc.found)
+    np.testing.assert_allclose(float(fd.obj), float(pc.obj),
+                               rtol=1e-4, atol=1e-4)
