@@ -321,19 +321,21 @@ class MpcController:
             nodes=nodes)
 
     def feedback_batch(self, x0s, omega_forecasts=None, price_seq=None,
-                       u_prevs=None, mesh=None, engine="vmap",
+                       u_prevs=None, mesh=None, engine="auto",
                        pooled_wave: int = 1024,
                        pool_slots: int = 0) -> StructDict:
         """Solve a batch of independent control steps as ONE device
         program — the BASELINE config-4 workload through the controller
         API instead of the low-level loop layer.
 
-        ``engine``: "vmap" (jit(vmap(feedback)) — every solver/tree
-        combination) or "pooled" (solver="bnb" only —
+        ``engine``: "auto" (default — picks "pooled" whenever eligible),
+        "vmap" (jit(vmap(feedback)) — every solver/tree combination) or
+        "pooled" (solver="bnb", no scenario tree, single-device —
         solver/bnb_pooled.py: all instances' B&B nodes in one global
-        pool, waves sized to the Pallas kernel grain; much faster for
-        large B because instances neither lock-step nor starve the
-        batch lanes). ``pooled_wave``/``pool_slots`` size the pooled
+        pool, waves sized to the Pallas kernel grain; measured 3.5× the
+        vmapped engine on-chip at B=1024 because instances neither
+        lock-step nor starve the batch lanes).
+        ``pooled_wave``/``pool_slots`` size the pooled
         search; the per-instance node budget matches bnb_spec
         (max_waves rescales to the global wave size).
 
@@ -354,6 +356,14 @@ class MpcController:
               if price_seq is not None else None)
         up = (jnp.asarray(u_prevs, jnp.float32)
               if u_prevs is not None else None)
+        if engine == "auto":
+            # pooled whenever eligible: bnb solver, no scenario tree,
+            # no mesh placement (the pooled pool is single-program;
+            # mesh batches go through vmap + scenario sharding)
+            engine = ("pooled" if (self.solver == "bnb"
+                                   and self._tree is None
+                                   and mesh is None)
+                      else "vmap")
         if engine == "pooled":
             return self._feedback_batch_pooled(x0s, W, Pq, up,
                                                pooled_wave, pool_slots)
@@ -413,13 +423,19 @@ class MpcController:
                 in_axes=(0, 0, 0, 0 if W is not None else None))(
                     x0s, f, h, W)
         spec = self.bnb_spec
+        # global wave cannot exceed the pool; spec.capacity only needs
+        # to satisfy the wave_size <= capacity construction check (the
+        # pooled driver sizes its pool from pool_slots)
+        P = pool_slots or 32 * B
+        gwave = min(pooled_wave, P)
         # equal per-instance node budget at the global wave size
         gw = max(1, (B * spec.max_waves * spec.wave_size
-                     + pooled_wave - 1) // pooled_wave)
-        pspec = _dc.replace(spec, wave_size=pooled_wave, max_waves=gw)
+                     + gwave - 1) // gwave)
+        pspec = _dc.replace(spec, wave_size=gwave,
+                            capacity=max(spec.capacity, gwave),
+                            max_waves=gw)
         res = solve_miqp_bnb_pooled(
-            admm, qp, f, h, pspec,
-            pool_slots=pool_slots or 32 * B,
+            admm, qp, f, h, pspec, pool_slots=P,
             init_incumbent=seed, admm_probe=self._admm_probe)
         v_seq = jax.vmap(qp.full_v)(res.x)          # (B, N, nv)
         info = self.model.info

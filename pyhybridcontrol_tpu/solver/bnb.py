@@ -232,6 +232,12 @@ class BnbState:
     #                           incumbent (probe gating)
     best_open: jnp.ndarray    # () f32 — min bound over open nodes
     #                           (globally reduced; rel_gap termination)
+    dropped_min: jnp.ndarray  # () f32 — min bound over children DROPPED
+    #                           on pool overflow: their subtrees are
+    #                           never explored, so every best_open /
+    #                           certified-gap statement must fold this
+    #                           in or the gap would silently exclude
+    #                           lost regions (BIG when nothing dropped)
 
 
 @jax.tree_util.register_dataclass
@@ -274,6 +280,7 @@ def _init_state(qp, spec: BnbSpec, dtype, m_total: int
         alive=jnp.asarray(True),
         probe_stale=jnp.asarray(0, jnp.int32),
         best_open=jnp.asarray(-BIG, dtype),
+        dropped_min=jnp.asarray(BIG, dtype),
     )
 
 
@@ -658,12 +665,17 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
             x_pool = x_pool.at[tgt_safe].set(c1["xw"][src], mode="drop")
             z_pool = z_pool.at[tgt_safe].set(c1["zw"][src], mode="drop")
             y_pool = y_pool.at[tgt_safe].set(c1["yw"][src], mode="drop")
-        overflow = s.overflow | jnp.any(clive[src] & ~slot_free)
+        drop_mask = clive[src] & ~slot_free
+        overflow = s.overflow | jnp.any(drop_mask)
+        dropped_min = jnp.minimum(
+            s.dropped_min,
+            jnp.min(jnp.where(drop_mask, cb1[src], BIG)))
 
         alive = jnp.any(active)
         if global_any_active is not None:
             alive = global_any_active(alive)
-        best_open = jnp.min(jnp.where(active, bound, BIG))
+        best_open = jnp.minimum(
+            jnp.min(jnp.where(active, bound, BIG)), dropped_min)
         if reduce_min is not None:
             best_open = reduce_min(best_open)
 
@@ -678,10 +690,12 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
             wave=s.wave + 1,
             nodes_solved=s.nodes_solved + jnp.sum(valid.astype(jnp.int32)),
             overflow=overflow, alive=alive,
-            probe_stale=probe_stale, best_open=best_open)
+            probe_stale=probe_stale, best_open=best_open,
+            dropped_min=dropped_min)
 
     s = jax.lax.while_loop(cond, body, state)
-    best_open = jnp.min(jnp.where(s.active, s.bound, BIG))
+    best_open = jnp.minimum(
+        jnp.min(jnp.where(s.active, s.bound, BIG)), s.dropped_min)
     if reduce_min is not None:
         best_open = reduce_min(best_open)
     return BnbResult(x=s.inc_x, obj=s.inc_obj, found=s.inc_found,

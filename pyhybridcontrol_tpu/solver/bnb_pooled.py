@@ -109,6 +109,10 @@ class PooledState:
     overflow: jnp.ndarray
     alive: jnp.ndarray
     best_open: jnp.ndarray     # (B,) min open bound per instance
+    dropped_min: jnp.ndarray   # (B,) min bound over overflow-dropped
+    #                            children per instance (see solver/
+    #                            bnb.py — lost subtrees must stay in
+    #                            every best_open / gap statement)
 
 
 def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
@@ -158,6 +162,7 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
         overflow=jnp.asarray(False),
         alive=jnp.asarray(True),
         best_open=jnp.full((B,), -BIG, dtype),
+        dropped_min=jnp.full((B,), BIG, dtype),
     )
     if init_incumbent is not None:
         obj0, x0V, ok0 = init_incumbent
@@ -390,11 +395,17 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
             x_pool = x_pool.at[tgt_safe].set(relax.x[src], mode="drop")
             z_pool = z_pool.at[tgt_safe].set(relax.z[src], mode="drop")
             y_pool = y_pool.at[tgt_safe].set(relax.y[src], mode="drop")
-        overflow = s.overflow | jnp.any(c1live[src] & ~slot_free)
+        drop_mask = c1live[src] & ~slot_free
+        overflow = s.overflow | jnp.any(drop_mask)
+        dropped_min = s.dropped_min.at[
+            jnp.where(drop_mask, ni[src], B)].min(
+            jnp.where(drop_mask, child_bound[src], BIG), mode="drop")
 
         alive = jnp.any(active)
-        best_open = jnp.full((B,), BIG, dtype).at[inst_arr].min(
-            jnp.where(active, bound, BIG))
+        best_open = jnp.minimum(
+            jnp.full((B,), BIG, dtype).at[inst_arr].min(
+                jnp.where(active, bound, BIG)),
+            dropped_min)
 
         return PooledState(
             inst=inst_arr, fix_mask=fix_mask, fix_val=fix_val,
@@ -406,11 +417,14 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
             wave=s.wave + 1,
             nodes_solved=(s.nodes_solved
                           + jnp.sum(valid.astype(jnp.int32))),
-            overflow=overflow, alive=alive, best_open=best_open)
+            overflow=overflow, alive=alive, best_open=best_open,
+            dropped_min=dropped_min)
 
     s = jax.lax.while_loop(cond, body, s)
-    best_open = jnp.full((B,), BIG, dtype).at[s.inst].min(
-        jnp.where(s.active, s.bound, BIG))
+    best_open = jnp.minimum(
+        jnp.full((B,), BIG, dtype).at[s.inst].min(
+            jnp.where(s.active, s.bound, BIG)),
+        s.dropped_min)
     return BnbResult(x=s.inc_x, obj=s.inc_obj, found=s.inc_found,
                      waves=s.wave, nodes_solved=s.nodes_solved,
                      overflow=s.overflow, best_open_bound=best_open)

@@ -102,3 +102,34 @@ def test_spec_validation():
     with pytest.raises(ValueError):
         BnbSpec(capacity=1, wave_size=1)
     BnbSpec(capacity=16, wave_size=16)   # boundary is fine
+
+
+def test_overflow_keeps_gap_conservative():
+    """Pool overflow drops children; their unexplored subtrees may hold
+    the optimum, so the certified lower bound (best_open_bound) must
+    fold the dropped bounds in: min(incumbent, best_open) <= true
+    optimum must hold even under heavy overflow."""
+    from pyhybridcontrol_tpu.solver.oracle import (
+        solve_miqp_enumeration_oracle)
+
+    from pyhybridcontrol_tpu.models.pwa_examples import (
+        pwa_spring_mld, pwa_weights)
+
+    # big-M pwa: degenerate relaxations, no pruning → a 6-slot pool on
+    # a 9-binary tree must overflow
+    model = pwa_spring_mld(on_off=True)
+    c = CondensedMpc(model, 3, pwa_weights())
+    qp, admm = c.device_qp(), prepare_admm_mpc(c)
+    x0 = np.array([1.5, 0.0], np.float32)
+    f, h = qp.assemble(jnp.asarray(x0))
+    fo, ho = c.assemble_np(x0)
+    orc = solve_miqp_enumeration_oracle(c.H, fo, c.G, ho, c.lb, c.ub,
+                                        c.binary_idx)
+    spec = BnbSpec(capacity=6, wave_size=2, max_waves=24, qp_iters=300,
+                   probe_iters=1500, presolve_fix=False)
+    r = solve_miqp_bnb(admm, qp, f, h, spec,
+                       admm_probe=prepare_admm_mpc(c, rho=10.0))
+    assert bool(r.overflow)
+    lower_claim = min(float(r.obj), float(r.best_open_bound))
+    assert lower_claim <= orc.obj + 1e-3, (
+        lower_claim, orc.obj, float(r.best_open_bound))

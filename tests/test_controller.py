@@ -119,6 +119,8 @@ def test_feedback_batch_matches_single():
                              max_waves=24))
     rng = np.random.default_rng(11)
     x0s = jnp.asarray(rng.normal(size=(8, 2)).astype(np.float32))
+    # engine="auto" (default) resolves to the pooled driver for a plain
+    # bnb controller — per-instance results must still match feedback
     batch = ctrl.feedback_batch(x0s)
     assert batch.u.shape == (8, 1) and bool(jnp.all(batch.found))
     for i in range(3):
@@ -126,9 +128,14 @@ def test_feedback_batch_matches_single():
         np.testing.assert_allclose(np.asarray(batch.obj[i]),
                                    np.asarray(single.obj),
                                    rtol=1e-3, atol=1e-3)
-    # second call at the same shapes hits the compiled-program cache
+    assert len(ctrl._fb_batch_cache) == 0   # pooled path, not vmap
+    # explicit vmap engine: same answers, compiled-program cache reused
+    batch_v = ctrl.feedback_batch(x0s, engine="vmap")
+    np.testing.assert_allclose(np.asarray(batch_v.obj),
+                               np.asarray(batch.obj), rtol=1e-3,
+                               atol=1e-3)
     assert len(ctrl._fb_batch_cache) == 1
-    again = ctrl.feedback_batch(x0s + 0.01)
+    again = ctrl.feedback_batch(x0s + 0.01, engine="vmap")
     assert len(ctrl._fb_batch_cache) == 1
     assert bool(jnp.all(again.found))
 
