@@ -88,3 +88,25 @@ def test_golden_config3_thermal_uc():
                       price_traj=jnp.asarray(prices))
     assert bool(np.asarray(res.found).all())
     _check_or_create("thermal_uc_N12_T8.npz", res)
+
+
+def test_golden_config2_pwa_hull():
+    """The hull (disaggregated) formulation is config 2's production
+    encoding — its closed loop gets its own golden."""
+    from pyhybridcontrol_tpu.models.pwa_examples import (
+        pwa_spring_mld, pwa_weights)
+
+    model = pwa_spring_mld(on_off=True, formulation="hull")
+    w = pwa_weights()
+    c = CondensedMpc(model, 8, w)
+    qp, admm = c.device_qp(), prepare_admm_mpc(c)
+    rspec = prepare_repair(model, w)
+    step = make_mpc_step(model, qp, admm, method="bnb",
+                         bnb_spec=BnbSpec(capacity=512, wave_size=64,
+                                          qp_iters=300, probe_iters=1500,
+                                          max_waves=16, gap=1e-3),
+                         repair=(rspec, "plain"),
+                         admm_probe=prepare_admm_mpc(c, rho=10.0))
+    res = closed_loop(model, step, jnp.asarray([1.5, 0.0]), T=6)
+    assert bool(np.asarray(res.found).all())
+    _check_or_create("pwa_hull_N8_T6.npz", res)
