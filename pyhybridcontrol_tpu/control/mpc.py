@@ -305,11 +305,19 @@ class MpcController:
                                  admm_probe=self._admm_probe)
             x, obj, found = res.x, res.obj, res.found
             nodes = res.nodes_solved
+            # certified relative optimality gap (the reference exposes
+            # Gurobi's MIPGap the same way): 0 when the frontier was
+            # exhausted; folds overflow-dropped bounds (solver/bnb.py)
+            bo = res.best_open_bound
+            gap = jnp.where(found & jnp.isfinite(bo) & (bo < obj),
+                            (obj - bo) / jnp.maximum(1.0, jnp.abs(obj)),
+                            0.0)
         elif self.solver == "enumerate":
             x, obj, _, feas = solve_miqp_enumerate_device(
                 admm, qp, f, h, iters=self.qp_iters)
             found = jnp.any(feas)
             nodes = jnp.asarray(2 ** qp.n_binary, jnp.int32)
+            gap = jnp.asarray(0.0, jnp.float32)   # exhaustive
         else:
             raise ValueError(f"unknown solver {self.solver!r}")
         v_seq = qp.full_v(x)
@@ -318,7 +326,7 @@ class MpcController:
         return StructDict(
             u=v0[info.u_slice], delta=v0[info.delta_slice],
             z=v0[info.z_slice], v_seq=v_seq, obj=obj, found=found,
-            nodes=nodes)
+            nodes=nodes, gap=gap)
 
     def feedback_batch(self, x0s, omega_forecasts=None, price_seq=None,
                        u_prevs=None, mesh=None, engine="auto",
@@ -441,10 +449,14 @@ class MpcController:
         info = self.model.info
         v0 = v_seq[:, 0]
         nodes = jnp.broadcast_to(res.nodes_solved, (B,))
+        bo = res.best_open_bound
+        gap = jnp.where(res.found & jnp.isfinite(bo) & (bo < res.obj),
+                        (res.obj - bo)
+                        / jnp.maximum(1.0, jnp.abs(res.obj)), 0.0)
         return StructDict(
             u=v0[:, info.u_slice], delta=v0[:, info.delta_slice],
             z=v0[:, info.z_slice], v_seq=v_seq, obj=res.obj,
-            found=res.found, nodes=nodes)
+            found=res.found, nodes=nodes, gap=gap)
 
     def _feedback_tree_consensus(self, x0, price_seq, u_prev=None):
         """Consensus-ADMM tree MIQP (ops/consensus_tree.py): per-

