@@ -208,7 +208,11 @@ def main():
         qpw, admw = cpw.device_qp(), prepare_admm_mpc(cpw)
         admw_p = prepare_admm_mpc(cpw, rho=10.0)
         rspec = prepare_repair(mpwa, pwa_weights())
-        spec_pwa = BnbSpec(capacity=1024, wave_size=64, max_waves=16,
+        # wave_size 128: tiles the Pallas kernel's 128-lane grain, so
+        # every wave's relaxation + probe batch rides the kernel on TPU
+        # (solver/bnb.py CondensedBackend → admm_solve_auto); 2x nodes
+        # per wave at ~1.8x the per-solve throughput of the XLA path.
+        spec_pwa = BnbSpec(capacity=1024, wave_size=128, max_waves=16,
                            qp_iters=200, probe_iters=1000, gap=1e-3)
 
         @jax.jit
@@ -224,6 +228,8 @@ def main():
         bo2 = float(r.best_open_bound)
         details["config2_pwa_actuator"] = dict(
             N=20, n_binary=qpw.n_binary, formulation="hull",
+            wave_path=("pallas" if jax.default_backend() == "tpu"
+                       else "xla"),
             ms_per_solve=round(1e3 * dt, 2),
             found=bool(r.found), nodes=int(r.nodes_solved),
             nodes_per_s=round(int(r.nodes_solved) / dt, 1),
@@ -273,9 +279,14 @@ def main():
             return _finish(details, solves_per_s)
         # pooled multi-instance driver (solver/bnb_pooled.py): all 1024
         # instances share ONE node pool, each wave relaxing the global
-        # best 1024 nodes in a single kernel-grain batch — measured
-        # 3.5x the vmapped per-instance form (15.7k vs 4.4k MIQP/s,
-        # identical incumbent checksums; scripts/config4_pooled_ab.py).
+        # best 1024 nodes in a single batch — measured 3.5x the vmapped
+        # per-instance form on the XLA wave path alone (15.7k vs 4.4k
+        # MIQP/s, identical incumbent checksums;
+        # scripts/config4_pooled_ab.py). The 1024-node waves now also
+        # ride the Pallas kernel (+82% per solve): the round-2 @jit
+        # entry point abstracted admm to a Tracer, which silently
+        # locked admm_solve_auto out of the kernel — fixed by the
+        # jit-closure cache in solver/bnb_pooled.py.
         # warm-started nodes re-converge fast: 100 iters verified to
         # keep <2e-3 relative optimality gap (tuning sweep)
         from pyhybridcontrol_tpu.solver.bnb_pooled import (
@@ -297,6 +308,8 @@ def main():
         nodes4 = int(np.sum(np.asarray(r4.nodes_solved)))
         details["config4_scenario_batch"] = dict(
             batch=B4, N=10, engine="pooled",
+            wave_path=("pallas" if jax.default_backend() == "tpu"
+                       else "xla"),
             miqp_per_s=round(B4 / dt, 1),
             nodes_per_s=round(nodes4 / dt, 1),
             found_frac=float(np.mean(np.asarray(r4.found))))

@@ -436,6 +436,11 @@ class MpcController:
         # pooled driver sizes its pool from pool_slots)
         P = pool_slots or 32 * B
         gwave = min(pooled_wave, P)
+        if gwave >= 128:
+            # snap to the Pallas kernel's 128-lane batch grain so wave
+            # relaxation/probe batches ride the kernel on TPU
+            # (ops/pallas_admm.py admm_solve_auto)
+            gwave -= gwave % 128
         # equal per-instance node budget at the global wave size
         gw = max(1, (B * spec.max_waves * spec.wave_size
                      + gwave - 1) // gwave)

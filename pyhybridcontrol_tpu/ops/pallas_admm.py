@@ -411,12 +411,27 @@ def admm_solve_auto(spec: BoxQP, q, h, lb, ub, iters: int = 100,
     ``spec`` passed through jit arguments, whose traced arrays cannot be
     refactorized host-side). Dispatch is resolved at trace time, so this
     is jit-compatible; close over ``spec`` rather than passing it as a
-    jit argument to enable the fast path."""
+    jit argument to enable the fast path.
+
+    Env overrides (read at trace time):
+      PHC_PALLAS_FORCE=off        never dispatch to the kernel (chip-side
+                                  kill switch for A/B or regressions)
+      PHC_PALLAS_FORCE=interpret  dispatch eligible batches through the
+                                  kernel in interpret mode on non-TPU
+                                  backends — CPU-testability of the
+                                  kernel-in-B&B-wave-loop path
+    """
+    import os
+
     from pyhybridcontrol_tpu.ops.admm import admm_solve
 
+    force = os.environ.get("PHC_PALLAS_FORCE", "")
     concrete = not isinstance(spec.P, jax.core.Tracer)
-    if (concrete and jax.default_backend() == "tpu"
-            and getattr(q, "ndim", 1) == 2 and q.shape[0] % 128 == 0):
+    on_tpu = jax.default_backend() == "tpu"
+    eligible = (concrete and force != "off"
+                and (on_tpu or force == "interpret")
+                and getattr(q, "ndim", 1) == 2 and q.shape[0] % 128 == 0)
+    if eligible:
         pq = pallas_for(spec)
         B, n = q.shape
         m = spec.m_ineq
@@ -424,5 +439,6 @@ def admm_solve_auto(spec: BoxQP, q, h, lb, ub, iters: int = 100,
         lbb = jnp.broadcast_to(lb, (B, n))
         ubb = jnp.broadcast_to(ub, (B, n))
         return admm_solve_pallas(pq, q, hb, lbb, ubb, iters=iters,
-                                 warm=warm)
+                                 warm=warm,
+                                 interpret=(not on_tpu))
     return admm_solve(spec, q, h, lb, ub, iters=iters, warm=warm)

@@ -29,14 +29,13 @@ all-reduces the incumbent each wave.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pyhybridcontrol_tpu.ops.admm import BoxQP, admm_solve
+from pyhybridcontrol_tpu.ops.admm import BoxQP
 from pyhybridcontrol_tpu.ops.condense import DeviceQP
 
 BIG = 1e30
@@ -90,17 +89,27 @@ class CondensedBackend:
         return self.admm.m_total
 
     def solve(self, f, h, lb, ub, iters, warm=None):
-        return admm_solve(self.admm, f, h, lb, ub, iters=iters, warm=warm)
+        from pyhybridcontrol_tpu.ops.pallas_admm import admm_solve_auto
+
+        # admm_solve_auto: the Pallas kernel when the wave batch tiles
+        # the 128-lane grain on TPU AND the prepared spec is concrete
+        # (closed over, not a jit argument — see solve_miqp_bnb); the
+        # XLA path otherwise. Same scaled frame and AdmmResult contract,
+        # so warm starts and certified bounds are unchanged.
+        return admm_solve_auto(self.admm, f, h, lb, ub, iters=iters,
+                               warm=warm)
 
     def solve_probe(self, f, h, lb, ub, iters, warm=None):
+        from pyhybridcontrol_tpu.ops.pallas_admm import admm_solve_auto
+
         if self.admm_probe is None:
-            return admm_solve(self.admm, f, h, lb, ub, iters=iters,
-                              warm=warm)
+            return admm_solve_auto(self.admm, f, h, lb, ub, iters=iters,
+                                   warm=warm)
         k = iters // 2
-        r1 = admm_solve(self.admm_probe, f, h, lb, ub, iters=k,
-                        warm=warm)
-        return admm_solve(self.admm, f, h, lb, ub, iters=iters - k,
-                          warm=(r1.x, r1.z, r1.y))
+        r1 = admm_solve_auto(self.admm_probe, f, h, lb, ub, iters=k,
+                             warm=warm)
+        return admm_solve_auto(self.admm, f, h, lb, ub, iters=iters - k,
+                               warm=(r1.x, r1.z, r1.y))
 
     def node_bound(self, res, f, h, lb, ub):
         from pyhybridcontrol_tpu.ops.admm import admm_dual_bound
@@ -703,7 +712,36 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
                      overflow=s.overflow, best_open_bound=best_open)
 
 
-@partial(jax.jit, static_argnames=("spec",))
+# Jitted closures keyed on problem identity: closing over the prepared
+# (admm, qp, admm_probe) keeps their arrays CONCRETE inside the trace,
+# which is what lets CondensedBackend.solve dispatch wave batches to the
+# Pallas kernel (ops/pallas_admm.py admm_solve_auto refuses traced
+# specs — a jit ARGUMENT is abstracted to a Tracer even when the caller
+# passed a concrete array, so the round-2 @jit-with-admm-as-arg form
+# silently locked every B&B wave out of the kernel path). Entries hold
+# strong refs (prepared problems are few and long-lived per process —
+# same policy as ops/pallas_admm.pallas_for).
+_JIT_CACHE: dict = {}
+
+
+def _jitted_bnb(admm, qp, admm_probe, spec: BnbSpec):
+    key = (id(admm), id(qp), id(admm_probe), spec)
+    ent = _JIT_CACHE.get(key)
+    if (ent is not None and ent[0] is admm and ent[1] is qp
+            and ent[2] is admm_probe):
+        return ent[3]
+    backend = CondensedBackend(admm, qp, admm_probe)
+
+    @jax.jit
+    def run(f, h, init_incumbent, init_node):
+        return _bnb_loop(backend, f, h, spec,
+                         init_incumbent=init_incumbent,
+                         init_node=init_node)
+
+    _JIT_CACHE[key] = (admm, qp, admm_probe, run)
+    return run
+
+
 def solve_miqp_bnb(admm: BoxQP, qp: DeviceQP, f, h,
                    spec: BnbSpec = BnbSpec(),
                    init_incumbent=None, init_node=None,
@@ -715,6 +753,17 @@ def solve_miqp_bnb(admm: BoxQP, qp: DeviceQP, f, h,
     assignment injected as a fully-fixed wave-1 node (the closed-loop
     carried-plan warm start).
     ``admm_probe``: optional stiff-ρ ADMM prep for dive probes (see
-    CondensedBackend — ~6× fewer iterations on fixed-binary leaves)."""
-    return _bnb_loop(CondensedBackend(admm, qp, admm_probe), f, h, spec,
-                     init_incumbent=init_incumbent, init_node=init_node)
+    CondensedBackend — ~6× fewer iterations on fixed-binary leaves).
+
+    When ``admm`` is a prepared (concrete) BoxQP — eager calls, or calls
+    from inside a jit that CLOSES OVER it (loop/closed_loop.py,
+    control/mpc.py) — the solve runs as a cached jitted closure and wave
+    batches whose size tiles the 128-lane grain ride the Pallas kernel
+    on TPU. When ``admm`` arrives as a traced jit argument the loop is
+    inlined into the caller's trace (XLA wave path)."""
+    if isinstance(admm.P, jax.core.Tracer):
+        return _bnb_loop(CondensedBackend(admm, qp, admm_probe), f, h,
+                         spec, init_incumbent=init_incumbent,
+                         init_node=init_node)
+    return _jitted_bnb(admm, qp, admm_probe, spec)(
+        f, h, init_incumbent, init_node)

@@ -39,7 +39,6 @@ routes the B&B hot loop through the speed-of-light kernel path.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional
 
 import jax
@@ -54,30 +53,11 @@ from pyhybridcontrol_tpu.solver.bnb import (
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class KernelCondensedBackend(CondensedBackend):
-    """CondensedBackend whose solves dispatch through
-    ``admm_solve_auto`` — the Pallas kernel when the wave batch tiles
-    the 128-lane grain on TPU, the XLA path otherwise (CPU tests run
-    the identical search through XLA). Same scaled frame, same
-    AdmmResult contract, so warm starts and the certified dual bound
-    are unchanged."""
-
-    def solve(self, f, h, lb, ub, iters, warm=None):
-        from pyhybridcontrol_tpu.ops.pallas_admm import admm_solve_auto
-
-        return admm_solve_auto(self.admm, f, h, lb, ub, iters=iters,
-                               warm=warm)
-
-    def solve_probe(self, f, h, lb, ub, iters, warm=None):
-        from pyhybridcontrol_tpu.ops.pallas_admm import admm_solve_auto
-
-        if self.admm_probe is None:
-            return admm_solve_auto(self.admm, f, h, lb, ub, iters=iters,
-                                   warm=warm)
-        k = iters // 2
-        r1 = admm_solve_auto(self.admm_probe, f, h, lb, ub, iters=k,
-                             warm=warm)
-        return admm_solve_auto(self.admm, f, h, lb, ub, iters=iters - k,
-                               warm=(r1.x, r1.z, r1.y))
+    """Back-compat alias: CondensedBackend itself now dispatches every
+    solve through ``admm_solve_auto`` (the Pallas kernel when the wave
+    batch tiles the 128-lane grain on TPU and the prepared spec is
+    concrete — see solver/bnb.py ``solve_miqp_bnb``; the XLA path
+    otherwise, so CPU tests run the identical search through XLA)."""
 
 
 @jax.tree_util.register_dataclass
@@ -430,7 +410,31 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
                      overflow=s.overflow, best_open_bound=best_open)
 
 
-@partial(jax.jit, static_argnames=("spec", "pool_slots"))
+# jitted closures over concrete problem data — same rationale and
+# policy as solver/bnb.py _JIT_CACHE (a jit ARGUMENT is abstracted to a
+# Tracer, which locks admm_solve_auto out of the kernel path).
+_JIT_CACHE: dict = {}
+
+
+def _jitted_pooled(admm, qp, admm_probe, spec: BnbSpec, P: int):
+    key = (id(admm), id(qp), id(admm_probe), spec, P)
+    ent = _JIT_CACHE.get(key)
+    if (ent is not None and ent[0] is admm and ent[1] is qp
+            and ent[2] is admm_probe):
+        return ent[3]
+    backend = KernelCondensedBackend(admm=admm, qp=qp,
+                                     admm_probe=admm_probe)
+
+    @jax.jit
+    def run(f, h, init_incumbent, init_node):
+        return _pooled_loop(backend, f, h, spec, P,
+                            init_node=init_node,
+                            init_incumbent=init_incumbent)
+
+    _JIT_CACHE[key] = (admm, qp, admm_probe, run)
+    return run
+
+
 def solve_miqp_bnb_pooled(admm: BoxQP, qp: DeviceQP, f, h,
                           spec: BnbSpec = BnbSpec(),
                           pool_slots: int = 0,
@@ -442,14 +446,19 @@ def solve_miqp_bnb_pooled(admm: BoxQP, qp: DeviceQP, f, h,
 
     ``pool_slots``: total pool size (0 → 32·B, min 4096-aligned to the
     wave). Set ``spec.wave_size`` to a multiple of 128 to engage the
-    Pallas kernel for every wave's relaxation + probe batch on TPU.
+    Pallas kernel for every wave's relaxation + probe batch on TPU
+    (requires a concrete — closed-over or eager — ``admm``; a traced
+    jit-argument spec inlines the loop on the XLA wave path).
 
     Returns a BnbResult whose x/obj/found/best_open_bound carry the
     (B,) instance axis; waves/nodes_solved are global scalars."""
     B = f.shape[0]
     P = pool_slots or max(32 * B, 2 * B)
-    backend = KernelCondensedBackend(admm=admm, qp=qp,
-                                     admm_probe=admm_probe)
-    return _pooled_loop(backend, f, h, spec, P,
-                        init_node=init_node,
-                        init_incumbent=init_incumbent)
+    if isinstance(admm.P, jax.core.Tracer):
+        backend = KernelCondensedBackend(admm=admm, qp=qp,
+                                         admm_probe=admm_probe)
+        return _pooled_loop(backend, f, h, spec, P,
+                            init_node=init_node,
+                            init_incumbent=init_incumbent)
+    return _jitted_pooled(admm, qp, admm_probe, spec, P)(
+        f, h, init_incumbent, init_node)

@@ -123,3 +123,59 @@ def test_profiling_utils():
     stats = bnb_stats(r)
     assert stats["found"] and stats["nodes_solved"] > 0
     assert np.isfinite(stats["obj"])
+
+
+def test_bnb_waves_through_kernel(rng, monkeypatch):
+    """B&B with kernel-eligible wave batches (W=128, concrete prepared
+    specs) must return the same incumbent as the XLA wave path —
+    PHC_PALLAS_FORCE=interpret exercises the true kernel-in-while_loop
+    program on CPU (the dispatch that the TPU bench takes by default;
+    solver/bnb.py routes CondensedBackend solves via admm_solve_auto)."""
+    from pyhybridcontrol_tpu.solver.bnb import BnbSpec, solve_miqp_bnb
+
+    model = switched_double_integrator()
+    c = CondensedMpc(model, 8, default_weights())
+    qp = c.device_qp()
+    spec = BnbSpec(capacity=256, wave_size=128, max_waves=24, qp_iters=60)
+    f, h = qp.assemble(jnp.asarray([2.0, 0.0]))
+
+    admm_x = prepare_admm_mpc(c)
+    r_xla = solve_miqp_bnb(admm_x, qp, f, h, spec,
+                           admm_probe=prepare_admm_mpc(c, rho=10.0))
+
+    monkeypatch.setenv("PHC_PALLAS_FORCE", "interpret")
+    # fresh identities: the jit-closure cache is keyed on the prepared
+    # objects, so these re-trace with the env override active
+    admm_k = prepare_admm_mpc(c)
+    r_k = solve_miqp_bnb(admm_k, qp, f, h, spec,
+                         admm_probe=prepare_admm_mpc(c, rho=10.0))
+    assert bool(r_k.found) and bool(r_xla.found)
+    np.testing.assert_allclose(float(r_k.obj), float(r_xla.obj),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_pooled_bnb_through_kernel(rng, monkeypatch):
+    """Pooled multi-instance B&B (the config-4 engine) with kernel-grain
+    waves: per-instance incumbents must match the XLA wave path."""
+    from pyhybridcontrol_tpu.solver.bnb import BnbSpec
+    from pyhybridcontrol_tpu.solver.bnb_pooled import solve_miqp_bnb_pooled
+
+    model = switched_double_integrator()
+    c = CondensedMpc(model, 6, default_weights())
+    qp = c.device_qp()
+    spec = BnbSpec(capacity=1024, wave_size=128, max_waves=48, qp_iters=60)
+    B = 8
+    x0s = jnp.asarray(rng.normal(size=(B, 2)).astype(np.float32))
+    f, h = jax.vmap(qp.assemble)(x0s)
+
+    admm_x = prepare_admm_mpc(c)
+    r_xla = solve_miqp_bnb_pooled(admm_x, qp, f, h, spec, pool_slots=1024,
+                                  admm_probe=prepare_admm_mpc(c, rho=10.0))
+
+    monkeypatch.setenv("PHC_PALLAS_FORCE", "interpret")
+    admm_k = prepare_admm_mpc(c)
+    r_k = solve_miqp_bnb_pooled(admm_k, qp, f, h, spec, pool_slots=1024,
+                                admm_probe=prepare_admm_mpc(c, rho=10.0))
+    assert np.asarray(r_k.found).all() and np.asarray(r_xla.found).all()
+    np.testing.assert_allclose(np.asarray(r_k.obj), np.asarray(r_xla.obj),
+                               rtol=1e-3, atol=1e-3)
