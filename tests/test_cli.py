@@ -107,6 +107,104 @@ def test_serve_loop_requests():
             proc.wait()
 
 
+class _TcpClient:
+    """Line-delimited-JSON test client for the serve --tcp front."""
+
+    def __init__(self, port):
+        import socket
+
+        self.sock = socket.create_connection(("127.0.0.1", port),
+                                             timeout=60)
+        self.rfile = self.sock.makefile("r")
+
+    def send(self, obj):
+        self.sock.sendall((json.dumps(obj) + "\n").encode())
+
+    def recv(self):
+        return json.loads(self.rfile.readline())
+
+    def close(self):
+        self.sock.close()
+
+
+def test_serve_tcp_coalescing():
+    """The TCP front must serve concurrent clients and coalesce
+    simultaneously-arriving single-state requests into ONE
+    feedback_batch device program (SURVEY.md §5 serving surface)."""
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "pyhybridcontrol_tpu.serve",
+         "--config", "double_integrator", "--solver", "enumerate",
+         "--cpu", "--tcp", "0", "--coalesce-window", "500"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env=_env())
+    clients = []
+    try:
+        ready = json.loads(proc.stdout.readline())
+        assert ready["ready"] and ready["tcp_port"] > 0
+        port = ready["tcp_port"]
+
+        clients = [_TcpClient(port) for _ in range(3)]
+        c0, c1, c2 = clients
+        c0.send({"cmd": "ping"})
+        assert c0.recv()["pong"]
+
+        # reference solve (uncoalesced): a lone request
+        c0.send({"x": [1.0, -0.5], "id": "ref"})
+        ref = c0.recv()
+        assert ref["id"] == "ref" and ref["found"]
+
+        # three clients fire within the 500 ms window → one batch
+        states = {0: [1.0, -0.5], 1: [0.2, 0.7], 2: [-1.0, 0.0]}
+        for i, c in enumerate(clients):
+            c.send({"x": states[i], "id": i})
+        resps = [c.recv() for c in clients]
+        for i, r in enumerate(resps):
+            assert r["id"] == i and r["found"], r
+            assert np.isfinite(r["obj"])
+        # coalesced across clients, and client 0's obj matches its
+        # uncoalesced solve of the same state
+        assert any(r.get("coalesced", 1) >= 2 for r in resps)
+        assert abs(resps[0]["obj"] - ref["obj"]) < 1e-3 * (
+            1 + abs(ref["obj"]))
+
+        # a client-batched (2-D x) request passes through unchanged
+        c1.send({"x": [[0.1, 0.1], [0.5, -0.5]], "id": "b"})
+        br = c1.recv()
+        assert br["id"] == "b" and br["batch"] == 2 and all(br["found"])
+
+        # bad request on one connection: error reply, server survives
+        c2.send({"x": [1.0, 2.0, 3.0], "id": "bad"})
+        er = c2.recv()
+        assert "error" in er and er["id"] == "bad"
+        c2.send({"x": [0.0, 0.0]})
+        assert c2.recv()["found"]
+
+        c0.send({"cmd": "stats"})
+        st = c0.recv()
+        assert st["connections"] == 3
+        assert st["max_coalesce"] >= 2 and st["coalesced_batches"] >= 1
+        assert st["errors"] >= 1
+
+        # client disconnect must not stop the server
+        c2.send({"cmd": "quit"})
+        c2.close()
+        c0.send({"cmd": "ping"})
+        assert c0.recv()["pong"]
+
+        c0.send({"cmd": "shutdown"})
+        assert c0.recv()["bye"]
+        assert proc.wait(timeout=60) == 0
+    finally:
+        for c in clients:
+            try:
+                c.close()
+            except OSError:
+                pass
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+
+
 def test_run_cli_chunked_checkpoint_and_resume(tmp_path):
     ckpt = tmp_path / "study.ckpt"
     base = [sys.executable, "-m", "pyhybridcontrol_tpu.run",
