@@ -380,6 +380,73 @@ def _solve_K(sw: StagewiseQP, r, factors=None):
     return jnp.moveaxis(xs, 0, -2)
 
 
+def _affine_prefix(M, v):
+    """All prefixes of the affine recurrence y_k = M_k y_{k−1} + v_k
+    (y_{−1}=0) in O(log N) depth via ``lax.associative_scan`` — affine
+    maps compose associatively: (M_b, v_b)∘(M_a, v_a) =
+    (M_b M_a, M_b v_a + v_b). M: (N, b, b); v: (N, …, b) with the batch
+    axes BETWEEN the scan axis and the vector axis."""
+
+    def comb(a, b):
+        Ma, va = a
+        Mb, vb = b
+        return (jnp.einsum("cij,cjk->cik", Mb, Ma, precision="highest"),
+                jnp.einsum("cij,c...j->c...i", Mb, va,
+                           precision="highest") + vb)
+
+    _, ys = jax.lax.associative_scan(comb, (M, v), axis=0)
+    return ys
+
+
+def _solve_K_assoc(sw: StagewiseQP, r, factors=None):
+    """K⁻¹ r with log-depth sweeps — the horizon-parallel twin of
+    ``_solve_K`` (SURVEY.md §5 long-context row: the substitution
+    recurrences are the sequence axis; composing them as affine maps
+    under an associative scan gives the ring/log-depth treatment, and
+    XLA partitions the scan when the N axis is sharded over a mesh).
+    Extra work vs the sequential sweeps is O(N b³) matrix composition —
+    negligible at MPC block sizes; depth drops from O(N) to O(log N).
+    Exact same factorization (L, U⁻¹, C) as ``_solve_K``."""
+    Lf, Uf, Cf = factors if factors is not None else (sw.L, sw.Uinv, sw.C)
+    r_t = jnp.moveaxis(r, -2, 0)                  # (N, …, b)
+    ys = _affine_prefix(-Lf, r_t)                 # forward: y = r − L y⁻
+    # backward x_k = U⁻¹_k y_k − C_k x_{k+1}: flip to a forward map
+    vy = jnp.einsum("cij,c...j->c...i", Uf, ys, precision="highest")
+    xs = _affine_prefix(-Cf[::-1], vy[::-1])[::-1]
+    return jnp.moveaxis(xs, 0, -2)
+
+
+def block_lu_device(K_diag, K_off):
+    """Device-side block-tridiagonal LU (the factorization twin of the
+    host ``block_lu`` in ``prepare_stagewise``): a ``lax.scan`` over
+    stages carrying U_{k−1}. Use when K must be (re)factored inside a
+    jitted program — per-node ρ schedules, on-device re-preparation at
+    long N where a host round-trip per refactor would dominate. fp32 on
+    TPU (the host path stays fp64 for the ill-conditioned big-M case —
+    see CLAUDE.md numerics rules); parity is tested against the host
+    factors. Returns (L, Uinv, C) shaped like ``StagewiseQP.L/Uinv/C``."""
+    N, b, _ = K_diag.shape
+    off_T = jnp.swapaxes(K_off, -1, -2)           # K_{k−1,k} = K_{k,k−1}ᵀ
+    eye = jnp.eye(b, dtype=K_diag.dtype)
+
+    def step(U_prev, inp):
+        Kd, Ko, KoT = inp
+        Uinv_prev = jnp.linalg.solve(U_prev, eye)
+        Lk = jnp.matmul(Ko, Uinv_prev, precision="highest")
+        Uk = Kd - jnp.matmul(Lk, KoT, precision="highest")
+        return Uk, (Lk, Uk)
+
+    # seed with U_{−1} = I and K_{0,−1} = 0 so the k=0 step degenerates
+    # to L_0 = 0, U_0 = K_00 without a special case.
+    _, (L, U) = jax.lax.scan(step, eye, (K_diag, K_off, off_T))
+    Uinv = jnp.linalg.solve(U, jnp.broadcast_to(eye, U.shape))
+    C = jnp.concatenate([
+        jnp.einsum("kij,kjl->kil", Uinv[:-1], off_T[1:],
+                   precision="highest"),
+        jnp.zeros_like(Uinv[:1])], axis=0)
+    return L, Uinv, C
+
+
 def stagewise_dual_bound(sw: StagewiseQP, q, l, u, res: AdmmResult):
     """Certified lower bound from the final iterate — the stagewise
     analogue of ops/admm.py ``admm_dual_bound`` (see there for the
@@ -517,11 +584,16 @@ def assemble_stagewise(sw: StagewiseQP, x0, W=None, price_seq=None,
 
 
 def stagewise_admm_solve(sw: StagewiseQP, q, l, u, iters: int = 200,
-                         lb_xi=None, ub_xi=None, warm=None) -> AdmmResult:
+                         lb_xi=None, ub_xi=None, warm=None,
+                         parallel_sweeps: bool = False) -> AdmmResult:
     """Fixed-iteration ADMM in the stagewise frame. q (…,N,b), l/u
     (…,N,m_k) from ``assemble_stagewise``; optional per-node variable
     boxes lb_xi/ub_xi (…,N,b) override the box-row bounds (B&B);
-    ``warm``: (x, z, y) of a prior AdmmResult in this frame."""
+    ``warm``: (x, z, y) of a prior AdmmResult in this frame.
+    ``parallel_sweeps``: solve Kξ=t with the log-depth associative-scan
+    sweeps (``_solve_K_assoc``) instead of the sequential scans — pick
+    this for very long horizons or when the N axis is sharded over a
+    device mesh (horizon/sequence parallelism; SURVEY.md §5)."""
     if lb_xi is not None:
         l = l.at[..., :, sw.nx + sw.nc:].set(lb_xi)
         u = u.at[..., :, sw.nx + sw.nc:].set(ub_xi)
@@ -549,11 +621,13 @@ def stagewise_admm_solve(sw: StagewiseQP, q, l, u, iters: int = 200,
                            jnp.maximum(s, l))
         return jnp.where(soft, z_soft, z_hard)
 
+    solve_K = _solve_K_assoc if parallel_sweeps else _solve_K
+
     def body(_, carry):
         x, z, y, _ = carry
         w = rho * z - y
         t = sigma * x - q + _apply_AT(sw, w)
-        xt = _solve_K(sw, t)
+        xt = solve_K(sw, t)
         zt = _apply_A(sw, xt)
         zr = alpha * zt + (1.0 - alpha) * z
         z_new = z_update(zr + y / rho)

@@ -276,3 +276,87 @@ def test_stagewise_features_long_horizon():
     Jb = _true_plan_cost(model, w, x0, np.asarray(b.v_seq), u_prev=up,
                          soft=(rows, 20.0, 2.0))
     np.testing.assert_allclose(Ja, Jb, rtol=1e-2, atol=1e-2)
+
+
+# --- horizon-parallel (log-depth) sweeps + device factorization ----------
+
+def test_solve_K_assoc_matches_sequential(sw_prob, rng):
+    """Associative-scan sweeps reproduce the sequential block-LU solve
+    (batched), so parallel_sweeps is a drop-in at any batch shape."""
+    from pyhybridcontrol_tpu.ops.stagewise import _solve_K_assoc
+    model, N, sw = sw_prob
+    r = jnp.asarray(rng.normal(size=(5, N, sw.b)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(_solve_K_assoc(sw, r)),
+                               np.asarray(_solve_K(sw, r)),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_block_lu_device_matches_host(sw_prob, rng):
+    """Device lax.scan factorization == host fp64 block LU (fp32 tol),
+    and its factors solve K r = t through both sweep variants."""
+    from pyhybridcontrol_tpu.ops.stagewise import (
+        _solve_K_assoc, block_lu_device)
+    model, N, sw = sw_prob
+    b = sw.b
+    # rebuild K blocks densely from the host factors: U from Uinv, then
+    # K_diag/K_off via the LU identities (avoids re-deriving the rows)
+    Uinv = np.asarray(sw.Uinv, np.float64)
+    L = np.asarray(sw.L, np.float64)
+    C = np.asarray(sw.C, np.float64)
+    U = np.linalg.inv(Uinv)
+    off_T = np.einsum("kij,kjl->kil", U[:-1], C[:-1])     # K_{k,k+1}
+    K_off = np.zeros((N, b, b))
+    K_off[1:] = np.transpose(off_T, (0, 2, 1))
+    K_diag = U.copy()
+    K_diag[1:] += np.einsum("kij,kjl->kil", L[1:], off_T)
+    Ld, Uinvd, Cd = block_lu_device(jnp.asarray(K_diag, jnp.float32),
+                                    jnp.asarray(K_off, jnp.float32))
+    np.testing.assert_allclose(np.asarray(Ld), L, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(Uinvd), Uinv, rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(Cd)[:-1], C[:-1], rtol=1e-4,
+                               atol=1e-4)
+    r = jnp.asarray(rng.normal(size=(N, sw.b)), jnp.float32)
+    fac = (Ld, Uinvd, Cd)
+    np.testing.assert_allclose(np.asarray(_solve_K_assoc(sw, r, fac)),
+                               np.asarray(_solve_K(sw, r)),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_stagewise_parallel_sweeps_full_solve(sw_prob):
+    """Full ADMM with parallel_sweeps=True converges to the same point
+    as the sequential sweeps on a real assembled problem."""
+    model, N, sw = sw_prob
+    x0 = np.array([2.0, 0.0], np.float32)
+    q, l, u = assemble_stagewise(sw, jnp.asarray(x0), None, None)
+    a = stagewise_admm_solve(sw, q, l, u, iters=300)
+    p = stagewise_admm_solve(sw, q, l, u, iters=300, parallel_sweeps=True)
+    np.testing.assert_allclose(float(p.obj), float(a.obj), rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(p.x), np.asarray(a.x),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_solve_K_assoc_horizon_sharded():
+    """The log-depth sweeps compile and run with the HORIZON axis
+    sharded over an 8-device mesh (sequence parallelism for the O(N)
+    path — SURVEY.md §5 long-context row), matching the single-device
+    sequential solve."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from pyhybridcontrol_tpu.ops.stagewise import _solve_K_assoc
+    from pyhybridcontrol_tpu.parallel import make_mesh
+    model = switched_double_integrator()
+    N = 64
+    sw = prepare_stagewise(model, N, default_weights())
+    rng = np.random.default_rng(3)
+    r = jnp.asarray(rng.normal(size=(N, sw.b)), jnp.float32)
+    ref = np.asarray(_solve_K(sw, r))
+    mesh = make_mesh([("hor", 8)])
+    shard3 = NamedSharding(mesh, P("hor", None, None))
+    shard2 = NamedSharding(mesh, P("hor", None))
+    fac = tuple(jax.device_put(f, shard3) for f in (sw.L, sw.Uinv, sw.C))
+    r_sh = jax.device_put(r, shard2)
+    out = jax.jit(
+        lambda rr, ff: _solve_K_assoc(sw, rr, factors=ff))(r_sh, fac)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=5e-4,
+                               atol=5e-4)
