@@ -33,7 +33,8 @@ class MpcController:
                  solver: str = "bnb",
                  bnb_spec: Optional[BnbSpec] = None,
                  qp_iters: int = 150,
-                 rho: float = 1.0):
+                 rho: float = 1.0,
+                 sw_parallel: bool = False):
         self.model = model
         self.N = N
         self.weights = weights or MpcWeights()
@@ -41,6 +42,10 @@ class MpcController:
         self.bnb_spec = bnb_spec or BnbSpec(qp_iters=qp_iters)
         self.qp_iters = qp_iters
         self.rho = rho
+        # stagewise-only: log-depth associative-scan K sweeps instead of
+        # the sequential scans — for very long horizons / horizon-sharded
+        # meshes (ops/stagewise._solve_K_assoc; SURVEY.md §5 long-context)
+        self.sw_parallel = sw_parallel
         self._soft = None          # (rows, lin_pen, quad_pen)
         self._tree = None          # ScenarioTree (stochastic MPC)
         self._tree_consensus = False
@@ -504,7 +509,8 @@ class MpcController:
               if u_prev is not None else None)
         q, l, u = assemble_stagewise(sw, x0, W, Pq, u_prev=up)
         res = solve_miqp_bnb_stagewise(sw, q, l, u, self.bnb_spec,
-                                       sw_probe=self._sw_probe)
+                                       sw_probe=self._sw_probe,
+                                       parallel_sweeps=self.sw_parallel)
         xi = res.x.reshape(sw.N, sw.b)
         v_seq = xi[:, : sw.nv]
         info = self.model.info

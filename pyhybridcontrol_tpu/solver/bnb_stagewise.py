@@ -38,6 +38,8 @@ class StagewiseBackend:
 
     sw: StagewiseQP
     sw_probe: object = dataclasses.field(default=None)
+    parallel_sweeps: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
 
     @property
     def n(self):
@@ -73,7 +75,7 @@ class StagewiseBackend:
             sw, q, l, u, iters=iters,
             lb_xi=lb.reshape(batch + (sw.N, sw.b)),
             ub_xi=ub.reshape(batch + (sw.N, sw.b)),
-            warm=warm)
+            warm=warm, parallel_sweeps=self.parallel_sweeps)
         return dataclasses.replace(
             res,
             x=res.x.reshape(batch + (self.n,)),
@@ -83,8 +85,10 @@ class StagewiseBackend:
     def solve_probe(self, f, h, lb, ub, iters, warm=None):
         if self.sw_probe is None:
             return self.solve(f, h, lb, ub, iters, warm=warm)
-        return StagewiseBackend(self.sw_probe).solve(f, h, lb, ub, iters,
-                                                     warm=warm)
+        return StagewiseBackend(
+            self.sw_probe,
+            parallel_sweeps=self.parallel_sweeps).solve(f, h, lb, ub,
+                                                        iters, warm=warm)
 
     def node_bound(self, res, f, h, lb, ub):
         sw = self.sw
@@ -114,15 +118,19 @@ def pack_stagewise_data(q, l, u):
     return q.reshape(-1), jnp.stack([l, u], axis=0)
 
 
-@partial(jax.jit, static_argnames=("spec",))
+@partial(jax.jit, static_argnames=("spec", "parallel_sweeps"))
 def solve_miqp_bnb_stagewise(sw: StagewiseQP, q, l, u,
                              spec: BnbSpec = BnbSpec(),
                              init_incumbent=None,
-                             sw_probe=None) -> BnbResult:
+                             sw_probe=None,
+                             parallel_sweeps: bool = False) -> BnbResult:
     """B&B over the stagewise frame. (q, l, u) from
     ``assemble_stagewise(sw, x0, W, prices)``. Returns BnbResult with
     ``x`` the flat ξ (reshape to (N, b); v_k = ξ_k[:nv]).
-    ``sw_probe``: optional stiff-ρ StagewiseQP for dive probes."""
+    ``sw_probe``: optional stiff-ρ StagewiseQP for dive probes.
+    ``parallel_sweeps``: log-depth associative-scan K sweeps (long
+    horizons / horizon-sharded meshes; ops/stagewise._solve_K_assoc)."""
     f, h = pack_stagewise_data(q, l, u)
-    return _bnb_loop(StagewiseBackend(sw, sw_probe), f, h, spec,
-                     init_incumbent=init_incumbent)
+    return _bnb_loop(StagewiseBackend(sw, sw_probe,
+                                      parallel_sweeps=parallel_sweeps),
+                     f, h, spec, init_incumbent=init_incumbent)

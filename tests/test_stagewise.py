@@ -360,3 +360,22 @@ def test_solve_K_assoc_horizon_sharded():
         lambda rr, ff: _solve_K_assoc(sw, rr, factors=ff))(r_sh, fac)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=5e-4,
                                atol=5e-4)
+
+
+def test_stagewise_bnb_parallel_sweeps(sw_prob):
+    """Full stagewise B&B MIQP with parallel_sweeps=True returns the
+    same incumbent as the sequential sweeps (public-path threading:
+    MpcController(sw_parallel=True) → solve_miqp_bnb_stagewise)."""
+    from pyhybridcontrol_tpu.solver.bnb import BnbSpec
+    from pyhybridcontrol_tpu.solver.bnb_stagewise import (
+        solve_miqp_bnb_stagewise)
+    model, N, sw = sw_prob
+    x0 = np.array([2.0, 0.0], np.float32)
+    q, l, u = assemble_stagewise(sw, jnp.asarray(x0), None, None)
+    spec = BnbSpec(capacity=128, wave_size=16, max_waves=32,
+                   qp_iters=400)
+    a = solve_miqp_bnb_stagewise(sw, q, l, u, spec)
+    p = solve_miqp_bnb_stagewise(sw, q, l, u, spec, parallel_sweeps=True)
+    assert bool(a.found) and bool(p.found)
+    np.testing.assert_allclose(float(p.obj), float(a.obj), rtol=1e-3,
+                               atol=1e-3)
