@@ -212,8 +212,14 @@ def main():
         # every wave's relaxation + probe batch rides the kernel on TPU
         # (solver/bnb.py CondensedBackend → admm_solve_auto); 2x nodes
         # per wave at ~1.8x the per-solve throughput of the XLA path.
+        # probe_patience=3: gated probing with periodic retries reaches
+        # the IDENTICAL incumbent/bound/node count on this instance
+        # (CPU-deterministic check: obj 61.3279, gap 6.17%, 953 nodes,
+        # both settings) while skipping ~3/4 of the stale-tail probe
+        # batches — measured 24% wall reduction at 16 waves, 35% at 32.
         spec_pwa = BnbSpec(capacity=1024, wave_size=128, max_waves=16,
-                           qp_iters=200, probe_iters=1000, gap=1e-3)
+                           qp_iters=200, probe_iters=1000, gap=1e-3,
+                           probe_patience=3)
 
         @jax.jit
         def fb(x0):

@@ -166,11 +166,13 @@ class BnbSpec:
     # (incumbent − best open bound) ≤ rel_gap·max(1, |incumbent|).
     # 0 → run to optimality/pool exhaustion/max_waves.
     probe_patience: int = 0      # probe gating: 0 → dive-probe every
-    # wave (always-on); k>0 → skip the probe batch once probes have
-    # failed to improve the incumbent k waves in a row (halves the QP
-    # work per wave in the common tail where pruning alone finishes).
-    # Waves whose selection contains an integral/leaf node always
-    # probe (that is how leaves produce incumbents).
+    # wave (always-on); k>0 → once probes have failed to improve the
+    # incumbent k waves in a row, probe only every (k+1)-th wave
+    # (periodic retry; a success resets the counter and full probing
+    # resumes) — cuts k/(k+1) of the probe QP work in the common tail
+    # where pruning alone finishes. Waves whose selection contains an
+    # integral/leaf node always probe (that is how leaves produce
+    # incumbents).
     branching: str = "pseudocost"   # "pseudocost" (reliability-style
     # scores learned from observed bound degradations, most-fractional
     # fallback while uninitialized), "most_frac" (round-1 behavior), or
@@ -510,9 +512,19 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
         else:
             # gate: probe while no incumbent yet, while probes are hot,
             # or when the selection holds integral/leaf nodes (those
-            # only become incumbents through the probe solve).
+            # only become incumbents through the probe solve). While
+            # GATED, still retry every (patience+1)-th wave: the stale
+            # counter only advances on probed waves, so without the
+            # periodic retry the gate would close PERMANENTLY after the
+            # first `patience` dry waves — measured on hull-PWA (config
+            # 2, where probes are the only incumbent source early on)
+            # the incumbent then never left the repair seed (84.03 vs
+            # 61.01 at 32 waves). A successful retry resets stale → full
+            # probing resumes while productive; the tail still skips
+            # patience/(patience+1) of the probe work.
             leafish = jnp.any(valid & (integral | fully_fixed))
-            probe_ran = (~s.inc_found | leafish
+            retry = (s.wave % jnp.int32(spec.probe_patience + 1)) == 0
+            probe_ran = (~s.inc_found | leafish | retry
                          | (s.probe_stale < spec.probe_patience))
             probe_obj, probe_x, probe_ok = jax.lax.cond(
                 probe_ran, do_probe,

@@ -176,6 +176,39 @@ def test_presolve_fix_shrinks_uc_tree():
     assert n_on * 3 <= n_off, (n_on, n_off)
 
 
+def test_probe_gating_recovers_from_poor_seed():
+    """Regression: the probe gate must RE-OPEN periodically while stale.
+    With a poor seeded incumbent on a deep hull-PWA tree (probes are the
+    only incumbent source early on; leaves never enter the best-first
+    selection within the wave cap), a permanently-closing gate leaves
+    the incumbent at the seed — measured 84.03 vs 61.01 on config 2
+    before the periodic-retry fix. Gated and ungated runs must agree."""
+    from pyhybridcontrol_tpu.models.pwa_examples import (
+        pwa_spring_mld, pwa_weights)
+
+    from pyhybridcontrol_tpu.solver.repair import (
+        prepare_repair, root_repair_incumbent)
+
+    m = pwa_spring_mld(on_off=True, formulation="hull")
+    c = CondensedMpc(m, 20, pwa_weights())
+    qp, admm = c.device_qp(), prepare_admm_mpc(c)
+    probe = prepare_admm_mpc(c, rho=10.0)
+    rspec = prepare_repair(m, pwa_weights())
+    x0 = jnp.asarray([1.5, 0.0])
+    f, h = qp.assemble(x0)
+    seed = root_repair_incumbent(admm, qp, rspec, x0, f, h, qp_iters=400)
+    seed_obj = float(seed[0])
+    gated = solve_miqp_bnb(
+        admm, qp, f, h,
+        BnbSpec(capacity=1024, wave_size=128, max_waves=16, qp_iters=200,
+                probe_iters=1000, gap=1e-3, probe_patience=3),
+        init_incumbent=seed, admm_probe=probe)
+    assert bool(gated.found)
+    # the repair seed is ~84; probing-every-wave reaches 61.33 by wave
+    # 16 (the bench config-2 point); the gated run must escape the seed
+    assert float(gated.obj) < seed_obj - 1.0, (float(gated.obj), seed_obj)
+
+
 def test_flipdelta_branching_preserves_optimum(prob):
     qp, admm, f, h = prob
     fd = solve_miqp_bnb(admm, qp, f, h, _base(branching="flipdelta"))
