@@ -281,3 +281,109 @@ def test_pwa_hull_leaf_matches_bigm_leaf():
     ob = leaf(pwa_spring_mld(on_off=True, formulation="bigm"))
     oh = leaf(pwa_spring_mld(on_off=True, formulation="hull"))
     np.testing.assert_allclose(ob, oh, rtol=1e-6, atol=1e-6)
+
+
+# ---- PWA with >2 regions (deadzone spring) -------------------------------
+#
+# The 2-region families above never exercise the SOS1 indicator rows
+# (Σδ=1 over R>2) or the hull disaggregation with more than two copies;
+# a 3-region deadzone spring does: stiff restoring force for |x1| ≥ d,
+# free drift inside the deadzone (continuous across both boundaries).
+
+def _three_region_pwa(d: float = 0.5):
+    A_stiff = np.array([[1.0, 0.1], [-0.4, 1.0]])
+    A_free = np.array([[1.0, 0.1], [0.0, 1.0]])
+    B = np.array([[0.0], [0.1]])
+    R0 = np.zeros((1, 1))
+    R2 = np.zeros((2, 1))
+    r_neg = PwaRegion(A=A_stiff, B=B, c=np.array([0.0, -0.4 * d]),
+                      S=np.array([[1.0, 0.0]]), R=R0,
+                      T=np.array([-d]))                     # x1 ≤ −d
+    r_mid = PwaRegion(A=A_free, B=B, c=np.zeros(2),
+                      S=np.array([[1.0, 0.0], [-1.0, 0.0]]), R=R2,
+                      T=np.array([d, d]))                   # |x1| ≤ d
+    r_pos = PwaRegion(A=A_stiff, B=B, c=np.array([0.0, 0.4 * d]),
+                      S=np.array([[-1.0, 0.0]]), R=R0,
+                      T=np.array([-d]))                     # x1 ≥ d
+    return PwaSystem(regions=[r_neg, r_mid, r_pos],
+                     x_lb=np.array([-2.0, -2.0]),
+                     x_ub=np.array([2.0, 2.0]),
+                     u_lb=np.array([-1.0]), u_ub=np.array([1.0]))
+
+
+def _three_region_active(x, d=0.5):
+    return 0 if x[0] <= -d else (2 if x[0] >= d else 1)
+
+
+@pytest.mark.parametrize("formulation", ["bigm", "hull"])
+def test_pwa_three_region_equivalence(rng, formulation):
+    sys = _three_region_pwa()
+    m = pwa_to_mld(sys, formulation=formulation)
+    assert m.info.ndelta == 3
+    assert m.info.nz == (9 if formulation == "hull" else 6)
+    checked = 0
+    for _ in range(60):
+        x = rng.uniform(-1.9, 1.9, size=2)
+        u = rng.uniform(-0.9, 0.9, size=1)
+        if min(abs(x[0] - 0.5), abs(x[0] + 0.5)) < 1e-3:
+            continue                      # off the guard boundaries
+        checked += 1
+        want = sys.simulate_step(x, u)
+        active = _three_region_active(x)
+        delta = np.zeros(3)
+        delta[active] = 1.0
+        if formulation == "hull":
+            z = np.zeros(9)               # copies (v^x, v^u) per region
+            z[active * 3: active * 3 + 2] = x
+            z[active * 3 + 2] = u[0]
+        else:
+            z = np.zeros(6)               # z_i = δ_i · (A_i x + B_i u + c_i)
+            z[active * 2: (active + 1) * 2] = want
+        r = m.constraint_residual(
+            jnp.asarray(x, jnp.float32), jnp.asarray(u, jnp.float32),
+            jnp.asarray(delta, jnp.float32), jnp.asarray(z, jnp.float32))
+        assert np.max(np.asarray(r)) <= 1e-4, "feasible point rejected"
+        got = m.step(jnp.asarray(x, jnp.float32),
+                     jnp.asarray(u, jnp.float32),
+                     jnp.asarray(delta, jnp.float32),
+                     jnp.asarray(z, jnp.float32))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+        # claiming any OTHER region at this (x,u,z-for-active) must fail
+        wrong = np.zeros(3)
+        wrong[(active + 1) % 3] = 1.0
+        rw = m.constraint_residual(
+            jnp.asarray(x, jnp.float32), jnp.asarray(u, jnp.float32),
+            jnp.asarray(wrong, jnp.float32), jnp.asarray(z, jnp.float32))
+        assert np.max(np.asarray(rw)) > 1e-3, "wrong-region point accepted"
+    assert checked >= 40
+
+
+def test_pwa_three_region_miqp_parity():
+    """End-to-end MIQP parity on the 3-region model (hull + bigm):
+    condensed device enumeration must match the fp64 oracle, and both
+    formulations must agree on the optimum (same underlying MIQP)."""
+    from pyhybridcontrol_tpu.ops.admm import prepare_admm_mpc
+    from pyhybridcontrol_tpu.ops.condense import CondensedMpc, MpcWeights
+    from pyhybridcontrol_tpu.solver import (
+        solve_miqp_enumerate_device, solve_miqp_enumeration_oracle)
+
+    sys = _three_region_pwa()
+    w = MpcWeights(Qx=np.array([4.0, 0.4]), QxN=np.array([8.0, 0.8]),
+                   Ru=np.array([0.1]))
+    x0 = np.array([1.2, 0.0], np.float32)
+    objs = {}
+    for formulation in ("hull", "bigm"):
+        m = pwa_to_mld(sys, formulation=formulation)
+        c = CondensedMpc(m, 2, w)    # 2^6 patterns keep the fp64
+        # oracle enumeration fast; 3-region logic still couples steps
+        qp, spec = c.device_qp(), prepare_admm_mpc(c)
+        f, h = qp.assemble(jnp.asarray(x0))
+        _, obj, _, _ = solve_miqp_enumerate_device(spec, qp, f, h,
+                                                   iters=1500)
+        fo, ho = c.assemble_np(x0)
+        oracle = solve_miqp_enumeration_oracle(
+            c.H, fo, c.G, ho, c.lb, c.ub, c.binary_idx)
+        assert abs(float(obj) - oracle.obj) < 2e-3, formulation
+        objs[formulation] = oracle.obj
+    np.testing.assert_allclose(objs["hull"], objs["bigm"],
+                               rtol=1e-5, atol=1e-5)
