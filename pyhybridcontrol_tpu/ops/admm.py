@@ -72,6 +72,14 @@ class BoxQP:
     # (6-pass bf16 decomposition); "high" = 3-pass, usually sufficient.
     precision: str = dataclasses.field(
         default="highest", metadata=dict(static=True))
+    # Pallas dispatch policy, FIXED at prepare time (round-2 read the
+    # PHC_PALLAS_FORCE env at trace time, so two traces of one function
+    # under different env values silently produced different programs):
+    # "" auto (kernel on TPU for lane-aligned batches), "off" never,
+    # "interpret" kernel-in-interpret-mode on non-TPU backends (CPU
+    # testability of the kernel-in-while_loop path).
+    pallas_mode: str = dataclasses.field(
+        default="", metadata=dict(static=True))
 
     @property
     def n(self) -> int:
@@ -107,15 +115,29 @@ def prepare_admm(G: np.ndarray, H: np.ndarray, *, rho: float = 1.0,
                  binary_idx=None, rho_eq_scale: float = 10.0,
                  boost_rows=None, boost_scale: float = 30.0,
                  eq_rows=None,
-                 dtype=jnp.float32, precision: str = "highest") -> BoxQP:
+                 dtype=jnp.float32, precision: str = "highest",
+                 pallas_mode: Optional[str] = None) -> BoxQP:
     """Host-side (float64) preparation: Ruiz equilibration + K⁻¹.
 
     ``binary_idx``: box rows of those variables get ρ·rho_eq_scale (they
     turn into equalities at fixed-binary B&B nodes — OSQP §5.2 boosts
     equality rows the same way). ``eq_rows``: constraint rows that are
     true equalities (e.g. scenario-consensus selector rows) — same
-    rho_eq_scale boost."""
+    rho_eq_scale boost.
+
+    ``pallas_mode``: kernel-dispatch policy baked into the spec (see
+    BoxQP.pallas_mode); None → read PHC_PALLAS_FORCE from the
+    environment ONCE, here, at prepare time. Every program traced from
+    this spec then agrees on the dispatch, whatever the env does later.
+    """
+    import os
+
     from pyhybridcontrol_tpu.ops.scaling import ruiz_equilibrate
+
+    if pallas_mode is None:
+        pallas_mode = os.environ.get("PHC_PALLAS_FORCE", "")
+    if pallas_mode not in ("", "off", "interpret"):
+        raise ValueError(f"unknown pallas_mode {pallas_mode!r}")
 
     G = np.asarray(G, dtype=np.float64)
     H = np.asarray(H, dtype=np.float64)
@@ -146,7 +168,7 @@ def prepare_admm(G: np.ndarray, H: np.ndarray, *, rho: float = 1.0,
         cost_scale=jnp.asarray(c, dtype),
         rho_vec=jnp.asarray(rho_vec, dtype),
         rho=float(rho), sigma=float(sigma), alpha=float(alpha), m_ineq=m,
-        precision=precision,
+        precision=precision, pallas_mode=pallas_mode,
     )
 
 

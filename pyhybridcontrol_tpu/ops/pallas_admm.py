@@ -87,7 +87,15 @@ class PallasQP:
 
 
 def prepare_pallas(spec: BoxQP) -> PallasQP:
-    """Pad + refactor a prepared BoxQP for the kernel (host fp64, once)."""
+    """Pad + refactor a prepared BoxQP for the kernel (host fp64, once).
+
+    Trace-safe by construction: the device arrays are created under
+    ``jax.ensure_compile_time_eval()``, so even when this runs lazily
+    INSIDE a jit trace (the B&B wave loop's first dispatch) the result
+    holds CONCRETE arrays that any number of later jitted programs may
+    close over. Round 2 skipped this and cached trace-local constants —
+    the second jitted program sharing a prepared spec then crashed with
+    UnexpectedTracerError (it killed the round-2 driver bench)."""
     n, mt, m = spec.n, spec.m_total, spec.m_ineq
     nr = _round_up(n, 8)
     mGp = _round_up(m, 8)
@@ -120,21 +128,22 @@ def prepare_pallas(spec: BoxQP) -> PallasQP:
         return out
 
     db = col(dbox, nr, 0.0)
-    return PallasQP(
-        base=spec,
-        AGT=jnp.asarray(AGT), M=jnp.asarray(Mp), P=jnp.asarray(Pp),
-        dbox=jnp.asarray(db),
-        dbox_inv=jnp.asarray(np.where(db == 0.0, 1.0, 1.0 / np.where(
-            db == 0.0, 1.0, db))),
-        rhoG=jnp.asarray(col(rho[:m], mGp, 1.0)),
-        rhoG_inv=jnp.asarray(col(1.0 / rho[:m], mGp, 1.0)),
-        rhoB=jnp.asarray(col(rho[m:], nr, 1.0)),
-        rhoB_inv=jnp.asarray(col(1.0 / rho[m:], nr, 1.0)),
-        EG_inv=jnp.asarray(col(1.0 / E[:m], mGp, 1.0)),
-        EB_inv=jnp.asarray(col(1.0 / E[m:], nr, 1.0)),
-        Dc_inv=jnp.asarray(col(1.0 / (D * c), nr, 1.0)),
-        n_pad=nr, m_pad=mGp,
-    )
+    with jax.ensure_compile_time_eval():
+        return PallasQP(
+            base=spec,
+            AGT=jnp.asarray(AGT), M=jnp.asarray(Mp), P=jnp.asarray(Pp),
+            dbox=jnp.asarray(db),
+            dbox_inv=jnp.asarray(np.where(db == 0.0, 1.0, 1.0 / np.where(
+                db == 0.0, 1.0, db))),
+            rhoG=jnp.asarray(col(rho[:m], mGp, 1.0)),
+            rhoG_inv=jnp.asarray(col(1.0 / rho[:m], mGp, 1.0)),
+            rhoB=jnp.asarray(col(rho[m:], nr, 1.0)),
+            rhoB_inv=jnp.asarray(col(1.0 / rho[m:], nr, 1.0)),
+            EG_inv=jnp.asarray(col(1.0 / E[:m], mGp, 1.0)),
+            EB_inv=jnp.asarray(col(1.0 / E[m:], nr, 1.0)),
+            Dc_inv=jnp.asarray(col(1.0 / (D * c), nr, 1.0)),
+            n_pad=nr, m_pad=mGp,
+        )
 
 
 def _admm_kernel(q_ref, lG_ref, uG_ref, lB_ref, uB_ref,
@@ -389,17 +398,17 @@ def admm_solve_pallas(pq: PallasQP, q, h, lb, ub, iters: int = 100,
 
 # ---- default dispatch: kernel on TPU, XLA path elsewhere ----------------
 
-_PQ_CACHE: dict = {}
-
 
 def pallas_for(spec: BoxQP) -> PallasQP:
-    """Memoized ``prepare_pallas`` keyed on BoxQP object identity (the
-    host fp64 refactorization runs once per prepared problem)."""
-    ent = _PQ_CACHE.get(id(spec))
-    if ent is None or ent[0] is not spec:
-        ent = (spec, prepare_pallas(spec))
-        _PQ_CACHE[id(spec)] = ent
-    return ent[1]
+    """Memoized ``prepare_pallas``, stored ON the spec object (the host
+    fp64 refactorization runs once per prepared problem; the derived
+    data is garbage-collected with the spec). Safe to call from inside
+    any jit trace — ``prepare_pallas`` builds concrete arrays under
+    ``ensure_compile_time_eval`` — and safe to SHARE across any number
+    of jitted programs (utils/prepcache.py has the round-2 history)."""
+    from pyhybridcontrol_tpu.utils.prepcache import cached_on
+
+    return cached_on(spec, "pallas_qp", lambda: prepare_pallas(spec))
 
 
 def admm_solve_auto(spec: BoxQP, q, h, lb, ub, iters: int = 100,
@@ -413,19 +422,17 @@ def admm_solve_auto(spec: BoxQP, q, h, lb, ub, iters: int = 100,
     is jit-compatible; close over ``spec`` rather than passing it as a
     jit argument to enable the fast path.
 
-    Env overrides (read at trace time):
-      PHC_PALLAS_FORCE=off        never dispatch to the kernel (chip-side
-                                  kill switch for A/B or regressions)
-      PHC_PALLAS_FORCE=interpret  dispatch eligible batches through the
-                                  kernel in interpret mode on non-TPU
-                                  backends — CPU-testability of the
-                                  kernel-in-B&B-wave-loop path
+    The dispatch policy comes from ``spec.pallas_mode`` — fixed when the
+    problem was PREPARED (prepare_admm reads PHC_PALLAS_FORCE once
+    there): "off" = never use the kernel (chip-side kill switch),
+    "interpret" = run eligible batches through the kernel in interpret
+    mode on non-TPU backends (CPU testability of the kernel-in-wave-loop
+    path), "" = auto. Two programs traced from the same spec therefore
+    always agree, whatever the environment does between traces.
     """
-    import os
-
     from pyhybridcontrol_tpu.ops.admm import admm_solve
 
-    force = os.environ.get("PHC_PALLAS_FORCE", "")
+    force = spec.pallas_mode
     concrete = not isinstance(spec.P, jax.core.Tracer)
     on_tpu = jax.default_backend() == "tpu"
     eligible = (concrete and force != "off"

@@ -188,6 +188,13 @@ class BnbSpec:
     # integral value). Fixings apply to the node's children, shrinking
     # the subtree; both are certificate-backed, so the returned optimum
     # is unchanged (gap-semantics identical to bound pruning).
+    pool_norm: str = "none"      # pooled-driver (solver/bnb_pooled.py)
+    # selection normalization: "none" ranks nodes by raw bound (exactly
+    # fair for homogeneous batches — the scenario/batched-feedback use
+    # case), "relgap" by (bound − incumbent)/max(1,|incumbent|) of the
+    # owning instance, so heterogeneous objective SCALES share waves by
+    # relative remaining gap instead of the low-scale instances
+    # monopolizing every selection. Ignored by the single-instance loop.
     root_iters: int = 0          # extra-converged root relaxation: the
     # root is ONE solve whose bound gates the entire search — if it
     # does not reach feas_tol within qp_iters, every descendant
@@ -211,6 +218,8 @@ class BnbSpec:
             raise ValueError(f"unknown branching {self.branching!r}")
         if self.rel_gap < 0 or self.probe_patience < 0:
             raise ValueError("rel_gap and probe_patience must be >= 0")
+        if self.pool_norm not in ("none", "relgap"):
+            raise ValueError(f"unknown pool_norm {self.pool_norm!r}")
 
 
 @jax.tree_util.register_dataclass
@@ -724,34 +733,34 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
                      overflow=s.overflow, best_open_bound=best_open)
 
 
-# Jitted closures keyed on problem identity: closing over the prepared
-# (admm, qp, admm_probe) keeps their arrays CONCRETE inside the trace,
-# which is what lets CondensedBackend.solve dispatch wave batches to the
-# Pallas kernel (ops/pallas_admm.py admm_solve_auto refuses traced
-# specs — a jit ARGUMENT is abstracted to a Tracer even when the caller
-# passed a concrete array, so the round-2 @jit-with-admm-as-arg form
-# silently locked every B&B wave out of the kernel path). Entries hold
-# strong refs (prepared problems are few and long-lived per process —
-# same policy as ops/pallas_admm.pallas_for).
-_JIT_CACHE: dict = {}
-
-
 def _jitted_bnb(admm, qp, admm_probe, spec: BnbSpec):
-    key = (id(admm), id(qp), id(admm_probe), spec)
-    ent = _JIT_CACHE.get(key)
-    if (ent is not None and ent[0] is admm and ent[1] is qp
-            and ent[2] is admm_probe):
-        return ent[3]
-    backend = CondensedBackend(admm, qp, admm_probe)
+    """Jitted wave loop CLOSING OVER the prepared (admm, qp, admm_probe):
+    closing over keeps their arrays concrete inside the trace, which is
+    what lets CondensedBackend.solve dispatch wave batches to the Pallas
+    kernel (ops/pallas_admm.py admm_solve_auto refuses traced specs — a
+    jit ARGUMENT is abstracted to a Tracer even when the caller passed a
+    concrete array, so the round-2 @jit-with-admm-as-arg form silently
+    locked every B&B wave out of the kernel path).
 
-    @jax.jit
-    def run(f, h, init_incumbent, init_node):
-        return _bnb_loop(backend, f, h, spec,
-                         init_incumbent=init_incumbent,
-                         init_node=init_node)
+    Memoized ON the admm spec (utils/prepcache.py — replaces the round-2
+    module-level id()-keyed cache): the runner dies with the spec, and
+    because the closure holds qp/admm_probe strongly, the id() key
+    components cannot alias while the entry exists."""
+    from pyhybridcontrol_tpu.utils.prepcache import cached_on
 
-    _JIT_CACHE[key] = (admm, qp, admm_probe, run)
-    return run
+    def build():
+        backend = CondensedBackend(admm, qp, admm_probe)
+
+        @jax.jit
+        def run(f, h, init_incumbent, init_node):
+            return _bnb_loop(backend, f, h, spec,
+                             init_incumbent=init_incumbent,
+                             init_node=init_node)
+
+        return run
+
+    return cached_on(admm, ("bnb_run", id(qp), id(admm_probe), spec),
+                     build)
 
 
 def solve_miqp_bnb(admm: BoxQP, qp: DeviceQP, f, h,

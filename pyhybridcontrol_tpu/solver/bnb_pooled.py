@@ -26,11 +26,15 @@ pooling changes ONLY the schedule, not the search semantics. Pseudo-cost
 statistics are shared across instances (same matrices, same branching
 structure — cross-instance learning is a feature).
 
-Selection note: global best-first ranks nodes by RAW bound value, so
-instances with systematically lower objective scales are served first.
-For homogeneous batches (the scenario/batched-feedback use case) this is
-exactly fair; wildly heterogeneous objective scales would need a
-per-instance bound normalization (not implemented — documented limit).
+Selection note: global best-first ranks nodes by RAW bound value by
+default, which is exactly fair for homogeneous batches (the scenario/
+batched-feedback use case). Wildly heterogeneous objective scales can
+opt into ``BnbSpec.pool_norm="relgap"``: nodes are ranked by
+(bound − incumbent)/max(1,|incumbent|) of their OWNING instance (its
+certified relative-gap contribution), so low-scale instances stop
+monopolizing waves; instances without incumbents rank first.
+``BnbSpec.probe_patience`` gates the dive-probe batches with the same
+leafish/periodic-retry semantics as the single-instance loop.
 
 SURVEY.md §2b solver/bnb + kernels/qp_admm: this is the component that
 routes the B&B hot loop through the speed-of-light kernel path.
@@ -88,6 +92,9 @@ class PooledState:
     nodes_solved: jnp.ndarray
     overflow: jnp.ndarray
     alive: jnp.ndarray
+    probe_stale: jnp.ndarray   # () i32 — waves since a probe improved
+    #                            ANY instance's incumbent (probe gating,
+    #                            same semantics as solver/bnb.py)
     best_open: jnp.ndarray     # (B,) min open bound per instance
     dropped_min: jnp.ndarray   # (B,) min bound over overflow-dropped
     #                            children per instance (see solver/
@@ -141,6 +148,7 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
         nodes_solved=jnp.asarray(0, jnp.int32),
         overflow=jnp.asarray(False),
         alive=jnp.asarray(True),
+        probe_stale=jnp.asarray(0, jnp.int32),
         best_open=jnp.full((B,), -BIG, dtype),
         dropped_min=jnp.full((B,), BIG, dtype),
     )
@@ -187,7 +195,18 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
 
     def body(s: PooledState) -> PooledState:
         # -- 1. global best-first selection ------------------------------
-        pri = jnp.where(s.active, s.bound, BIG)
+        if spec.pool_norm == "relgap":
+            # heterogeneous batches: rank by the node's RELATIVE room
+            # below its own instance's incumbent, not the raw bound —
+            # otherwise instances with systematically lower objective
+            # scales monopolize every wave. Instances without an
+            # incumbent yet rank first (−BIG: they need work most).
+            inc_i = s.inc_obj[s.inst]
+            norm = (s.bound - inc_i) / jnp.maximum(1.0, jnp.abs(inc_i))
+            pri_val = jnp.where(s.inc_found[s.inst], norm, -BIG)
+        else:
+            pri_val = s.bound
+        pri = jnp.where(s.active, pri_val, BIG)
         _, sel = jax.lax.top_k(-pri, W)
         valid = s.active[sel]
         ni = s.inst[sel]                      # (W,) owning instance
@@ -244,29 +263,57 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
         pv = jnp.where(fm, fv, rounded)
         ones = jnp.ones_like(fm)
         lb_p, ub_p = node_bounds(ones, pv)
-        probe = backend.solve_probe(fb, hb, lb_p, ub_p,
-                                    spec.probe_iters or spec.qp_iters,
-                                    warm=(relax.x, relax.z, relax.y))
-        probe_ok = (probe.r_prim_rel
-                    < (spec.inc_tol or spec.feas_tol)) & valid
-        # certified-clamp: see solver/bnb.py do_probe — a feas_tol
-        # iterate's objective can sit BELOW the true leaf optimum.
-        pcert = backend.node_bound(probe, fb, hb, lb_p, ub_p)
-        pobj = jnp.where(jnp.isfinite(pcert),
-                         jnp.maximum(probe.obj, pcert), probe.obj)
-        cand = jnp.where(probe_ok, pobj, BIG)
+
+        def do_probe(_):
+            probe = backend.solve_probe(fb, hb, lb_p, ub_p,
+                                        spec.probe_iters or spec.qp_iters,
+                                        warm=(relax.x, relax.z, relax.y))
+            ok = (probe.r_prim_rel
+                  < (spec.inc_tol or spec.feas_tol)) & valid
+            # certified-clamp: see solver/bnb.py do_probe — a feas_tol
+            # iterate's objective can sit BELOW the true leaf optimum.
+            pcert = backend.node_bound(probe, fb, hb, lb_p, ub_p)
+            pobj = jnp.where(jnp.isfinite(pcert),
+                             jnp.maximum(probe.obj, pcert), probe.obj)
+            return jnp.where(ok, pobj, BIG), probe.x, ok
+
+        if spec.probe_patience == 0:
+            cand, probe_x, probe_ok = do_probe(None)
+            probe_ran = jnp.asarray(True)
+        else:
+            # probe gating — same semantics as solver/bnb.py (round-2
+            # silently ignored spec.probe_patience on THIS engine, the
+            # config-4 path the gating was built to speed up): probe
+            # while ANY instance lacks an incumbent, while probes are
+            # hot, when the selection holds integral/leaf nodes (those
+            # only become incumbents through the probe solve), and
+            # periodically every (patience+1)-th wave so the gate never
+            # closes permanently.
+            leafish = jnp.any(valid & (integral | fully_fixed))
+            retry = (s.wave % jnp.int32(spec.probe_patience + 1)) == 0
+            probe_ran = (~jnp.all(s.inc_found) | leafish | retry
+                         | (s.probe_stale < spec.probe_patience))
+            cand, probe_x, probe_ok = jax.lax.cond(
+                probe_ran, do_probe,
+                lambda _: (jnp.full((W,), BIG, dtype),
+                           jnp.zeros_like(relax.x),
+                           jnp.zeros((W,), bool)),
+                None)
 
         # per-instance incumbent update: scatter-min on obj, then a
         # deterministic unique-winner scatter for the plan (lowest wave
         # row wins ties so sharded/unsharded compilations agree).
         inc_obj = s.inc_obj.at[ni].min(cand)
         improved = probe_ok & (cand < s.inc_obj[ni]) & (cand <= inc_obj[ni])
+        probe_stale = jnp.where(
+            probe_ran & jnp.any(improved), 0,
+            s.probe_stale + probe_ran.astype(jnp.int32))
         rows = jnp.arange(W)
         first = jnp.full((B,), W, jnp.int32).at[ni].min(
             jnp.where(improved, rows, W).astype(jnp.int32))
         winner = improved & (rows == first[ni])
         tgt = jnp.where(winner, ni, B)
-        inc_x = s.inc_x.at[tgt].set(probe.x, mode="drop")
+        inc_x = s.inc_x.at[tgt].set(probe_x, mode="drop")
         inc_found = s.inc_found.at[tgt].set(True, mode="drop")
 
         # -- 4. prune (per-instance incumbent) ---------------------------
@@ -397,8 +444,8 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
             wave=s.wave + 1,
             nodes_solved=(s.nodes_solved
                           + jnp.sum(valid.astype(jnp.int32))),
-            overflow=overflow, alive=alive, best_open=best_open,
-            dropped_min=dropped_min)
+            overflow=overflow, alive=alive, probe_stale=probe_stale,
+            best_open=best_open, dropped_min=dropped_min)
 
     s = jax.lax.while_loop(cond, body, s)
     best_open = jnp.minimum(
@@ -410,29 +457,28 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
                      overflow=s.overflow, best_open_bound=best_open)
 
 
-# jitted closures over concrete problem data — same rationale and
-# policy as solver/bnb.py _JIT_CACHE (a jit ARGUMENT is abstracted to a
-# Tracer, which locks admm_solve_auto out of the kernel path).
-_JIT_CACHE: dict = {}
-
-
 def _jitted_pooled(admm, qp, admm_probe, spec: BnbSpec, P: int):
-    key = (id(admm), id(qp), id(admm_probe), spec, P)
-    ent = _JIT_CACHE.get(key)
-    if (ent is not None and ent[0] is admm and ent[1] is qp
-            and ent[2] is admm_probe):
-        return ent[3]
-    backend = KernelCondensedBackend(admm=admm, qp=qp,
-                                     admm_probe=admm_probe)
+    """Jitted pooled loop closing over concrete problem data — same
+    rationale and memoization policy as solver/bnb.py ``_jitted_bnb``
+    (a jit ARGUMENT is abstracted to a Tracer, which locks
+    admm_solve_auto out of the kernel path; the runner is cached ON the
+    admm spec via utils/prepcache.py)."""
+    from pyhybridcontrol_tpu.utils.prepcache import cached_on
 
-    @jax.jit
-    def run(f, h, init_incumbent, init_node):
-        return _pooled_loop(backend, f, h, spec, P,
-                            init_node=init_node,
-                            init_incumbent=init_incumbent)
+    def build():
+        backend = KernelCondensedBackend(admm=admm, qp=qp,
+                                         admm_probe=admm_probe)
 
-    _JIT_CACHE[key] = (admm, qp, admm_probe, run)
-    return run
+        @jax.jit
+        def run(f, h, init_incumbent, init_node):
+            return _pooled_loop(backend, f, h, spec, P,
+                                init_node=init_node,
+                                init_incumbent=init_incumbent)
+
+        return run
+
+    return cached_on(admm, ("pooled_run", id(qp), id(admm_probe), spec, P),
+                     build)
 
 
 def solve_miqp_bnb_pooled(admm: BoxQP, qp: DeviceQP, f, h,

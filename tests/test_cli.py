@@ -244,3 +244,22 @@ def test_run_cli_chunked_checkpoint_and_resume(tmp_path):
         capture_output=True, text=True, env=_env(), timeout=570)
     assert again.returncode == 0
     assert json.loads(again.stdout.strip().splitlines()[-1])["steps"] == 0
+
+
+def test_bench_crash_isolation(tmp_path):
+    """A deliberately-broken bench section must still yield rc=0, the
+    primary JSON line, and the error recorded in details — the round-2
+    driver artifact was lost because ONE section crashed at the end
+    (VERDICT r2 item 2). --inject-error is the testing hook for this."""
+    env = _env()
+    env["PHC_BENCH_DETAILS_DIR"] = str(tmp_path)
+    out = subprocess.run(
+        [sys.executable, os.path.join(_repo, "bench.py"), "--cpu",
+         "--budget", "30", "--inject-error", "config1_double_integrator"],
+        capture_output=True, text=True, env=env, timeout=570)
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = json.loads(out.stdout.strip().splitlines()[-1])
+    assert line["unit"] == "solves/s" and line["value"] > 0
+    d = json.load(open(tmp_path / "BENCH_DETAILS_cpu_smoke.json"))
+    assert "injected test error" in d["config1_double_integrator"]["error"]
+    assert d["primary_qp_solves_per_s"] > 0

@@ -106,6 +106,105 @@ def test_pallas_infeasibility_certificate(rng):
     np.testing.assert_array_equal(cert, np.asarray(ref.infeas_cert))
 
 
+def test_shared_spec_two_jitted_programs(rng, monkeypatch):
+    """THE round-2 driver-bench killer (VERDICT r2): two different
+    @jax.jit programs sharing ONE prepared BoxQP. The first program's
+    lazy kernel dispatch used to cache that trace's constants; the
+    second program then crashed with UnexpectedTracerError. Must now
+    run — prepare_pallas builds concrete arrays under
+    ensure_compile_time_eval and the derived data lives on the spec."""
+    from pyhybridcontrol_tpu.ops.admm import prepare_admm
+    from pyhybridcontrol_tpu.ops.pallas_admm import admm_solve_auto
+
+    monkeypatch.setenv("PHC_PALLAS_FORCE", "interpret")
+    n, m = 6, 4
+    L = rng.normal(size=(n, n))
+    H = L @ L.T + n * np.eye(n)
+    G = rng.normal(size=(m, n))
+    spec = prepare_admm(G, H)         # ONE prepared problem, shared
+    assert spec.pallas_mode == "interpret"
+    B = 128
+    q = jnp.asarray(rng.normal(size=(B, n)).astype(np.float32))
+    h = jnp.ones((B, m), jnp.float32)
+    lb, ub = -jnp.ones((B, n)), jnp.ones((B, n))
+
+    @jax.jit
+    def prog1(q):
+        return admm_solve_auto(spec, q, h, lb, ub, iters=200).obj
+
+    @jax.jit
+    def prog2(q):          # different program (iters) — second trace
+        return admm_solve_auto(spec, q, h, lb, ub, iters=300).obj
+
+    o1 = prog1(q)
+    o2 = prog2(q)          # round 2: UnexpectedTracerError here
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_feedback_then_feedback_batch_shared_controller(monkeypatch):
+    """Controller-level shape of the same bug: MpcController.feedback
+    (one jitted program) followed by feedback_batch (a second program,
+    pooled engine) on the SAME controller — both route kernel-eligible
+    wave batches through one prepared admm spec."""
+    monkeypatch.setenv("PHC_PALLAS_FORCE", "interpret")
+    from pyhybridcontrol_tpu.control.mpc import MpcController
+    from pyhybridcontrol_tpu.solver.bnb import BnbSpec
+
+    model = switched_double_integrator()
+    ctl = MpcController(model, 6, default_weights(),
+                        bnb_spec=BnbSpec(capacity=256, wave_size=128,
+                                         max_waves=12, qp_iters=60))
+    r1 = ctl.feedback(jnp.asarray([2.0, 0.0]))
+    assert bool(r1.found)
+    x0s = jnp.asarray([[2.0, 0.0], [-1.0, 0.5]], jnp.float32)
+    rb = ctl.feedback_batch(x0s, engine="pooled", pooled_wave=128,
+                            pool_slots=512)   # round 2: crash here
+    assert bool(np.asarray(rb.found)[0])
+    np.testing.assert_allclose(float(np.asarray(rb.obj)[0]),
+                               float(r1.obj), rtol=1e-3, atol=1e-3)
+
+
+def test_pallas_mode_fixed_at_prepare(rng, monkeypatch):
+    """Dispatch policy is a property of the PREPARED spec, not of the
+    environment at trace time: specs prepared under different
+    PHC_PALLAS_FORCE values keep their own behavior even after the env
+    changes (round-2 read the env per trace — two traces of one
+    function could silently run different programs)."""
+    import pyhybridcontrol_tpu.ops.pallas_admm as pa
+    from pyhybridcontrol_tpu.ops.admm import prepare_admm
+
+    n, m = 6, 4
+    L = rng.normal(size=(n, n))
+    H = L @ L.T + n * np.eye(n)
+    G = rng.normal(size=(m, n))
+    monkeypatch.setenv("PHC_PALLAS_FORCE", "interpret")
+    spec_k = prepare_admm(G, H)
+    monkeypatch.setenv("PHC_PALLAS_FORCE", "off")
+    spec_off = prepare_admm(G, H)
+    monkeypatch.delenv("PHC_PALLAS_FORCE")
+    assert spec_k.pallas_mode == "interpret"
+    assert spec_off.pallas_mode == "off"
+
+    calls = []
+    real = pa.admm_solve_pallas
+    monkeypatch.setattr(pa, "admm_solve_pallas",
+                        lambda *a, **kw: calls.append(1) or real(*a, **kw))
+    B = 128
+    q = jnp.asarray(rng.normal(size=(B, n)).astype(np.float32))
+    h = jnp.ones((B, m), jnp.float32)
+    lb, ub = -jnp.ones((B, n)), jnp.ones((B, n))
+    r_off = pa.admm_solve_auto(spec_off, q, h, lb, ub, iters=150)
+    assert not calls, "pallas_mode='off' spec must stay on the XLA path"
+    r_k = pa.admm_solve_auto(spec_k, q, h, lb, ub, iters=150)
+    assert calls, "pallas_mode='interpret' spec must use the kernel"
+    np.testing.assert_allclose(np.asarray(r_k.obj), np.asarray(r_off.obj),
+                               rtol=1e-3, atol=1e-3)
+    # explicit kwarg beats the env
+    with pytest.raises(ValueError):
+        prepare_admm(G, H, pallas_mode="bogus")
+
+
 def test_profiling_utils():
     from pyhybridcontrol_tpu.utils.profiling import bnb_stats, wall_timer
 
