@@ -134,23 +134,27 @@ class MpcController:
             return self
         if self.solver == "stagewise":
             # long-horizon path: O(N) block-tridiagonal frame. Δu/Qy
-            # weights and soft stage constraints ride natively (prox
-            # form); transforms that reshape the decision (blocking,
-            # horizon-coupled extra rows, terminal sets, trees) are
-            # condensed-frame-only.
-            if (self._blocking is not None or self._extra is not None
-                    or self._terminal is not None or self._tree is not None):
+            # weights, soft stage constraints (prox form), move blocking
+            # (adjacent-stage equality rows + leader-only branching) and
+            # terminal sets (last-stage rows) all ride natively —
+            # ops/stagewise.py module docstring. Arbitrary horizon-
+            # coupled extra rows and scenario trees remain condensed-
+            # frame-only (general A_v rows break tridiagonality).
+            if self._extra is not None or self._tree is not None:
                 raise ValueError(
                     "solver='stagewise' supports stage-local problems "
-                    "(incl. Δu/Qy weights and soft stage rows); use the "
-                    "condensed solvers for blocking/extra/terminal "
-                    "transforms and scenario trees")
+                    "(incl. Δu/Qy weights, soft stage rows, move "
+                    "blocking and terminal sets); use the condensed "
+                    "solvers for horizon-coupled extra rows and "
+                    "scenario trees")
+            kw = dict(soft=self._soft, blocking=self._blocking,
+                      terminal=self._terminal)
             self._sw = prepare_stagewise(self.model, self.N, self.weights,
-                                         rho=self.rho, soft=self._soft)
+                                         rho=self.rho, **kw)
             # stiff-rho prep for dive probes (see solver/bnb.py)
             self._sw_probe = prepare_stagewise(
                 self.model, self.N, self.weights, rho=self.rho * 10.0,
-                soft=self._soft)
+                **kw)
             self._cmpc = None
             self._admm_probe = None
             self._built_version = self._version

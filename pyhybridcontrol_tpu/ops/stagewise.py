@@ -30,6 +30,27 @@ objective P is block-TRIdiagonal (P_off) rather than block-diagonal —
 K keeps the exact same block-tridiagonal LU, the off blocks just gain
 a P term.
 
+Move blocking and terminal sets (SURVEY.md §2a; round-3): both ride as
+extra per-stage ROWS, so they preserve block-tridiagonality exactly —
+no decision reshaping as in the condensed path (ops/condense.py
+``with_move_blocking`` rebuilds V in the blocked frame; here the
+decision stays the full per-step ξ):
+
+  * blocking: contiguous step-groups become adjacent-stage equality
+    rows  u_k − u_{k−1} = 0  for every non-leader stage (vacuous ±BIG
+    bounds at block leaders — an unconstrained consensus row is exact:
+    its fixed point is z=Aξ, y=0). Branching shrinks the same way as
+    the condensed path: blocked binary-input coordinates branch only at
+    block-LEADER stages (solver/bnb_stagewise.py reads
+    ``blk_groups``/``blk_cols``); the equality rows propagate the fixed
+    value to the tied stages inside every relaxation.
+  * terminal set  E_N x_N ≤ f_N: stage-local rows on x_{k+1}, real at
+    k = N−1 and vacuous elsewhere.
+
+Both row families join the dual bound (``stagewise_dual_bound``): tied
+blocking rows carry free-sign equality duals (rhs 0 → no S term),
+terminal rows nonnegative duals on the finite last stage.
+
 Soft constraints take the prox route (no slack variables): a soft
 inequality row with penalty lin·s + quad·s² (s = violation) is the
 exact proximal z-update  z = u + max(ρ(v−u) − lin, 0)/(ρ + 2·quad)
@@ -79,6 +100,12 @@ class StagewiseQP:
     # soft constraints (prox form; zeros = hard row)
     soft_lin: jnp.ndarray    # (N, m_k) linear penalty per row
     soft_quad: jnp.ndarray   # (N, m_k) quadratic penalty per row
+    # move blocking (equality-row form): tie[k,j] = 1 ⇔ blocked coord
+    # blk_cols[j] of stage k is tied to stage k−1 (non-leader)
+    tie: jnp.ndarray         # (N, n_blk); (N, 0) when no blocking
+    # terminal set rows E_t x_N ≤ f_t (vacuous before the last stage)
+    Et: jnp.ndarray          # (n_term, nx)
+    ft: jnp.ndarray          # (n_term,)
     # K factorization (block LU): forward L, diagonal-inverse U⁻¹, and
     # the back-substitution coupler C_k = U_k⁻¹ K_{k,k+1}
     L: jnp.ndarray           # (N, b, b), L[0] unused
@@ -100,14 +127,27 @@ class StagewiseQP:
     alpha: float = dataclasses.field(metadata=dict(static=True))
     binary_idx_v: tuple = dataclasses.field(metadata=dict(static=True))
     has_soft: bool = dataclasses.field(metadata=dict(static=True))
+    # static blocking layout: v-coords carried by the blk rows (empty =
+    # no blocking) and the step-group ids (leaders branch; solver/
+    # bnb_stagewise.py)
+    blk_cols: tuple = dataclasses.field(default=(),
+                                        metadata=dict(static=True))
+    blk_groups: tuple = dataclasses.field(default=(),
+                                          metadata=dict(static=True))
+    n_term: int = dataclasses.field(default=0,
+                                    metadata=dict(static=True))
 
     @property
     def b(self) -> int:
         return self.nv + self.nx
 
     @property
+    def n_blk(self) -> int:
+        return len(self.blk_cols)
+
+    @property
     def m_k(self) -> int:
-        return self.nx + self.nc + self.b
+        return self.nx + self.nc + self.b + self.n_blk + self.n_term
 
 
 def prepare_stagewise(model: MldModel, N: int,
@@ -115,12 +155,19 @@ def prepare_stagewise(model: MldModel, N: int,
                       rho: float = 1.0, rho_eq_scale: float = 10.0,
                       sigma: float = 1e-6, alpha: float = 1.6,
                       reg: float = 1e-8, soft=None,
+                      blocking=None, block_deltas: bool = False,
+                      terminal=None,
                       dtype=jnp.float32) -> StagewiseQP:
     """Host fp64 build: stage blocks + block-tridiagonal LU of K.
 
     ``soft``: optional (rows, lin_pen, quad_pen) with ``rows`` indexing
     stage-inequality rows over the horizon as ``k*ncons + r`` (the same
-    convention as ``CondensedMpc.with_soft_constraints``)."""
+    convention as ``CondensedMpc.with_soft_constraints``).
+    ``blocking``: optional length-N step-group ids (nondecreasing,
+    contiguous — the ``with_move_blocking`` convention): the input u is
+    held constant within each group via adjacent-stage equality rows
+    (module docstring). ``block_deltas=True`` ties δ as well.
+    ``terminal``: optional (E_N, f_N) terminal-set rows on x_N."""
     w = weights or MpcWeights()
     info = model.info
     if info.nxb > 0:
@@ -196,8 +243,45 @@ def prepare_stagewise(model: MldModel, N: int,
                 q0[k - 1, nv:] += m.C.T @ gy
                 P_off[k, :nv, nv:] += M_vy @ m.C   # v_k · x_k cross
 
+    # ---- move blocking / terminal rows (module docstring) --------------
+    nu_model = info.nu
+    blk_cols: tuple = ()
+    blk_groups: tuple = ()
+    tie = np.zeros((N, 0))
+    if blocking is not None:
+        groups = [int(g) for g in blocking]
+        if len(groups) != N:
+            raise ValueError(f"blocking needs {N} group ids, got "
+                             f"{len(groups)}")
+        if groups[0] != 0 or any(g2 - g1 not in (0, 1) for g1, g2 in
+                                 zip(groups, groups[1:])):
+            raise ValueError("blocking groups must start at 0 and be "
+                             "contiguous nondecreasing (condensed "
+                             "with_move_blocking convention)")
+        cols = list(range(nu_model))
+        if block_deltas:
+            cols += list(range(info.delta_slice.start,
+                               info.delta_slice.stop))
+        blk_cols = tuple(cols)
+        blk_groups = tuple(groups)
+        tie = np.zeros((N, len(cols)))
+        for k in range(1, N):
+            if groups[k] == groups[k - 1]:
+                tie[k, :] = 1.0
+    n_blk = len(blk_cols)
+    if terminal is not None:
+        Et = np.atleast_2d(np.asarray(terminal[0], np.float64))
+        ft = np.asarray(terminal[1], np.float64).reshape(-1)
+        if Et.shape != (len(ft), nx):
+            raise ValueError(f"terminal E must be ({len(ft)}, {nx}), "
+                             f"got {Et.shape}")
+    else:
+        Et = np.zeros((0, nx))
+        ft = np.zeros((0,))
+    n_term = len(ft)
+
     # soft stage-inequality rows → per-row prox penalties
-    m_k_rows = nx + nc + b
+    m_k_rows = nx + nc + b + n_blk + n_term
     soft_lin = np.zeros((N, m_k_rows))
     soft_quad = np.zeros((N, m_k_rows))
     if soft is not None:
@@ -212,11 +296,13 @@ def prepare_stagewise(model: MldModel, N: int,
         soft_lin[k_idx, nx + r_idx] = lin_a
         soft_quad[k_idx, nx + r_idx] = quad_a
 
-    # per-stage A blocks. Row layout: [dyn(nx); ineq(nc); box(b)].
+    # per-stage A blocks. Row layout:
+    # [dyn(nx); ineq(nc); box(b); blk(n_blk); term(n_term)].
     # "own" block J_k (cols = ξ_k), "prev" block M_k (cols = ξ_{k−1}).
-    # J: dyn rows [−Bv, I]; ineq rows [Fv, 0]; box rows I_b
-    # M: dyn rows [0, −A]; ineq rows [0, E]; box 0
-    m_k = nx + nc + b
+    # J: dyn rows [−Bv, I]; ineq rows [Fv, 0]; box rows I_b;
+    #    blk rows S (selector of blk_cols in v); term rows [0, Et]
+    # M: dyn rows [0, −A]; ineq rows [0, E]; box 0; blk −tie_k∘S; term 0
+    m_k = m_k_rows
 
     # ---- K = P + σI + Aᵀdiag(ρ)A (block tridiagonal), host fp64 ----
     rho_rows = np.full(m_k, rho)
@@ -224,17 +310,26 @@ def prepare_stagewise(model: MldModel, N: int,
     vb_mask = info.v_binary_mask
     box_rho = np.full(b, rho)
     box_rho[:nv][vb_mask] = rho * rho_eq_scale  # binary boxes
-    rho_rows[nx + nc:] = box_rho
+    rho_rows[nx + nc:nx + nc + b] = box_rho
+    if n_blk:                                   # blocking equalities
+        rho_rows[nx + nc + b:nx + nc + b + n_blk] = rho * rho_eq_scale
     rho_full = np.tile(rho_rows, (N, 1))
 
     J = np.zeros((m_k, b))
     J[:nx, :nv] = -Bv
     J[:nx, nv:] = np.eye(nx)
     J[nx:nx + nc, :nv] = Fv
-    J[nx + nc:, :] = np.eye(b)
+    J[nx + nc:nx + nc + b, :] = np.eye(b)
+    S_blk = np.zeros((n_blk, b))
+    for j, cj in enumerate(blk_cols):
+        S_blk[j, cj] = 1.0
+    J[nx + nc + b:nx + nc + b + n_blk] = S_blk
+    if n_term:
+        J[nx + nc + b + n_blk:, nv:] = Et
     M = np.zeros((m_k, b))
     M[:nx, nv:] = -m.A
     M[nx:nx + nc, nv:] = m.E
+    # blk M-part is −tie_k∘S: per-STAGE (handled below)
 
     R = np.diag(rho_rows)
     K_diag = np.zeros((N, b, b))
@@ -245,14 +340,23 @@ def prepare_stagewise(model: MldModel, N: int,
     JtRJ = J.T @ R @ J
     MtRM = M.T @ R @ M
     JtRM = J.T @ R @ M
+    rho_blk = rho * rho_eq_scale
+    bc = np.asarray(blk_cols, int)
     for k in range(N):
         K_diag[k] = P_diag[k] + sigma * np.eye(b) + JtRJ
         if k + 1 < N:
             K_diag[k] += MtRM
+            if n_blk:
+                # stage-(k+1) blk rows' M-part: (−tie∘S)ᵀρ(−tie∘S)
+                K_diag[k][bc, bc] += rho_blk * tie[k + 1] ** 2
         if k >= 1:
             K_off[k] = JtRM + P_off[k]   # K_{k,k−1} (constraint + obj)
+            if n_blk:
+                # stage-k blk rows: JᵀR M = Sᵀρ(−tie_k∘S)
+                K_off[k][bc, bc] += -rho_blk * tie[k]
     # Note: stage-0 rows have no ξ_{−1}; their M-part references x_0 which
     # is DATA (enters l/u), so M does not contribute to K at k=0. ✓
+    # (tie[0] = 0 by construction, so the blk terms respect this too.)
 
     # block LU: U_0 = K_00; L_k = K_{k,k−1} U_{k−1}⁻¹; U_k = K_kk − L_k K_{k−1,k}
     def block_lu(diag, off):
@@ -288,13 +392,15 @@ def prepare_stagewise(model: MldModel, N: int,
         Rdu2=as_(Rdu2), M_vy=as_(M_vy), M_xy=as_(M_xy),
         Cy=as_(m.C), D4y=as_(m.D4),
         soft_lin=as_(soft_lin), soft_quad=as_(soft_quad),
+        tie=as_(tie), Et=as_(Et), ft=as_(ft),
         L=as_(L), Uinv=as_(Uinv), C=as_(C),
         lb_xi=as_(lb_xi), ub_xi=as_(ub_xi),
         f5=as_(m.f5[:, 0]), b5=as_(m.b5[:, 0]), B4=as_(m.B4),
         F4=as_(m.F4), rho_rows=as_(rho_full),
         N=N, nx=nx, nv=nv, nc=nc, sigma=float(sigma), alpha=float(alpha),
         binary_idx_v=tuple(int(i) for i in np.nonzero(vb_mask)[0]),
-        has_soft=bool(soft_lin.any() or soft_quad.any()))
+        has_soft=bool(soft_lin.any() or soft_quad.any()),
+        blk_cols=blk_cols, blk_groups=blk_groups, n_term=n_term)
 
 
 # ---------------------------------------------------------------------------
@@ -312,15 +418,25 @@ def _apply_A(sw: StagewiseQP, xi):
            - jnp.einsum("ij,...kj->...ki", sw.A_dyn, xprev, precision="highest"))
     ineq = (jnp.einsum("ij,...kj->...ki", sw.Fv, v, precision="highest")
             + jnp.einsum("ij,...kj->...ki", sw.E, xprev, precision="highest"))
-    return jnp.concatenate([dyn, ineq, xi], axis=-1)
+    parts = [dyn, ineq, xi]
+    if sw.n_blk:
+        cols = jnp.asarray(sw.blk_cols)
+        vb = v[..., :, cols]
+        vbprev = jnp.concatenate(
+            [jnp.zeros_like(vb[..., :1, :]), vb[..., :-1, :]], axis=-2)
+        parts.append(vb - sw.tie * vbprev)        # u_k − tie_k·u_{k−1}
+    if sw.n_term:
+        parts.append(jnp.einsum("ij,...kj->...ki", sw.Et, xnext,
+                                precision="highest"))
+    return jnp.concatenate(parts, axis=-1)
 
 
 def _apply_AT(sw: StagewiseQP, w):
     """Aᵀ w: (…, N, m_k) → (…, N, b)."""
-    nx, nc, nv = sw.nx, sw.nc, sw.nv
+    nx, nc, nv, b = sw.nx, sw.nc, sw.nv, sw.b
     wd = w[..., :, :nx]
     wi = w[..., :, nx:nx + nc]
-    wb = w[..., :, nx + nc:]
+    wb = w[..., :, nx + nc:nx + nc + b]
     out_v = (-jnp.einsum("ij,...ki->...kj", sw.Bv, wd, precision="highest")
              + jnp.einsum("ij,...ki->...kj", sw.Fv, wi, precision="highest"))
     # x_{k+1} (ξ_k's x part) appears in dyn_k (+I), dyn_{k+1} (−A),
@@ -331,6 +447,20 @@ def _apply_AT(sw: StagewiseQP, w):
         [wi[..., 1:, :], jnp.zeros_like(wi[..., :1, :])], axis=-2)
     out_x = (wd - jnp.einsum("ij,...ki->...kj", sw.A_dyn, wd_next, precision="highest")
              + jnp.einsum("ij,...ki->...kj", sw.E, wi_next, precision="highest"))
+    if sw.n_blk:
+        # blk row k touches u_k (+1) and u_{k−1} (−tie_k)
+        i0 = nx + nc + b
+        wk = w[..., :, i0:i0 + sw.n_blk]
+        wk_next = jnp.concatenate(
+            [wk[..., 1:, :], jnp.zeros_like(wk[..., :1, :])], axis=-2)
+        tie_next = jnp.concatenate(
+            [sw.tie[1:], jnp.zeros_like(sw.tie[:1])], axis=0)
+        cols = jnp.asarray(sw.blk_cols)
+        out_v = out_v.at[..., :, cols].add(wk - tie_next * wk_next)
+    if sw.n_term:
+        wt = w[..., :, nx + nc + b + sw.n_blk:]
+        out_x = out_x + jnp.einsum("ij,...ki->...kj", sw.Et, wt,
+                                   precision="highest")
     return jnp.concatenate([out_v, out_x], axis=-1) + wb
 
 
@@ -463,11 +593,24 @@ def stagewise_dual_bound(sw: StagewiseQP, q, l, u, res: AdmmResult):
     Returns the bound with the same leading batch as res.obj."""
     nx, nc = sw.nx, sw.nc
     nbox = nx + nc
+    bb = nbox + sw.b
     xi = res.x
-    y = res.y.at[..., :, nbox:].set(0.0)          # box rows not dualized
+    y = res.y.at[..., :, nbox:bb].set(0.0)        # box rows not dualized
     # dynamics rows: equality (l=u) → free sign. ineq rows: one-sided
     # (l=−BIG) → clamp to the nonnegative feasible duals.
     y = y.at[..., :, nx:nbox].max(0.0)
+    if sw.n_blk:
+        # blocking rows: tied stages are equalities (free-sign dual,
+        # rhs 0 → no S term); leader stages are vacuous (dual must be 0
+        # or S would pick up a BIG bound)
+        y = y.at[..., :, bb:bb + sw.n_blk].multiply(sw.tie)
+    if sw.n_term:
+        # terminal rows: one-sided; only the finite (last-stage) rows
+        # may carry a dual
+        ut = u[..., :, bb + sw.n_blk:]
+        yt = jnp.where(ut < 0.9 * BIG,
+                       jnp.maximum(y[..., :, bb + sw.n_blk:], 0.0), 0.0)
+        y = y.at[..., :, bb + sw.n_blk:].set(yt)
     if sw.has_soft:
         soft = (sw.soft_lin > 0) | (sw.soft_quad > 0)
         y = jnp.where(soft, 0.0, y)
@@ -478,8 +621,11 @@ def stagewise_dual_bound(sw: StagewiseQP, q, l, u, res: AdmmResult):
                       axis=(-2, -1))
     f0 = (0.5 * jnp.sum(xi * _apply_P(sw, xi), axis=(-2, -1))
           + jnp.sum(w * xi, axis=(-2, -1)))
-    # S over the dualized rows: dyn l=u → u·y; ineq y≥0 → u·[y]₊ = u·y
-    S = jnp.sum(u[..., :, :nbox] * y[..., :, :nbox], axis=(-2, -1))
+    # S over the dualized rows: dyn l=u → u·y; ineq y≥0 → u·[y]₊ = u·y;
+    # blk tied rows u=0 and term finite rows u=f_t (masked y zeroes the
+    # BIG-bound rows, so summing u·y over [bb:] is exact)
+    S = (jnp.sum(u[..., :, :nbox] * y[..., :, :nbox], axis=(-2, -1))
+         + jnp.sum(u[..., :, bb:] * y[..., :, bb:], axis=(-2, -1)))
     return f0 + tangent - S
 
 
@@ -513,8 +659,10 @@ def _implied_box_stage(sw: StagewiseQP, l, u, passes: int = 2):
         u_ineq = jnp.where(soft_i, BIG, u_ineq)
     rhs_dyn = u[..., :, :nx]
     rhs = jnp.concatenate([u_ineq, rhs_dyn, -rhs_dyn], axis=-1)
-    lb_box = l[..., :, nbox:]                     # (…, N, b) [v_k; x_{k+1}]
-    ub_box = u[..., :, nbox:]
+    # box rows only — blocking/terminal rows sit past nbox+b and do not
+    # join this pass (skipping rows is always conservative/valid)
+    lb_box = l[..., :, nbox:nbox + sw.b]          # (…, N, b) [v_k; x_{k+1}]
+    ub_box = u[..., :, nbox:nbox + sw.b]
     for _ in range(passes):
         lx = lb_box[..., :, nv:]                  # x_{k+1} boxes
         ux = ub_box[..., :, nv:]
@@ -577,9 +725,19 @@ def assemble_stagewise(sw: StagewiseQP, x0, W=None, price_seq=None,
         jnp.matmul(x0, sw.A_dyn.T, precision="highest"))
     ineq_ub = ineq_ub.at[0].add(
         -jnp.matmul(x0, sw.E.T, precision="highest"))
-    l = jnp.concatenate([dyn_rhs, jnp.full_like(ineq_ub, -BIG), sw.lb_xi],
-                        axis=-1)
-    u = jnp.concatenate([dyn_rhs, ineq_ub, sw.ub_xi], axis=-1)
+    l_parts = [dyn_rhs, jnp.full_like(ineq_ub, -BIG), sw.lb_xi]
+    u_parts = [dyn_rhs, ineq_ub, sw.ub_xi]
+    if sw.n_blk:
+        # tied stages: equality u_k − u_{k−1} = 0; leaders: vacuous
+        zero = jnp.zeros((N, sw.n_blk), q.dtype)
+        l_parts.append(jnp.where(sw.tie > 0, zero, -BIG))
+        u_parts.append(jnp.where(sw.tie > 0, zero, BIG))
+    if sw.n_term:
+        l_parts.append(jnp.full((N, sw.n_term), -BIG, q.dtype))
+        u_term = jnp.full((N, sw.n_term), BIG, q.dtype)
+        u_parts.append(u_term.at[N - 1].set(sw.ft))
+    l = jnp.concatenate(l_parts, axis=-1)
+    u = jnp.concatenate(u_parts, axis=-1)
     return q, l, u
 
 
@@ -595,8 +753,9 @@ def stagewise_admm_solve(sw: StagewiseQP, q, l, u, iters: int = 200,
     this for very long horizons or when the N axis is sharded over a
     device mesh (horizon/sequence parallelism; SURVEY.md §5)."""
     if lb_xi is not None:
-        l = l.at[..., :, sw.nx + sw.nc:].set(lb_xi)
-        u = u.at[..., :, sw.nx + sw.nc:].set(ub_xi)
+        nbox = sw.nx + sw.nc
+        l = l.at[..., :, nbox:nbox + sw.b].set(lb_xi)
+        u = u.at[..., :, nbox:nbox + sw.b].set(ub_xi)
     rho = sw.rho_rows
     alpha, sigma = sw.alpha, sw.sigma
     soft = (sw.soft_lin > 0) | (sw.soft_quad > 0)     # (N, m_k)

@@ -55,9 +55,26 @@ class StagewiseBackend:
 
     @property
     def binary_idx(self):
+        """Branching coordinates. Under move blocking, a blocked binary
+        INPUT branches only at block-LEADER stages — the tied stages'
+        values are forced by the blocking equality rows inside every
+        relaxation (ops/stagewise.py module docstring), so branching
+        them would only duplicate work. Unblocked binaries (δ) branch
+        per stage as before."""
         sw = self.sw
-        return tuple(k * sw.b + int(i)
-                     for k in range(sw.N) for i in sw.binary_idx_v)
+        if not sw.blk_cols:
+            return tuple(k * sw.b + int(i)
+                         for k in range(sw.N) for i in sw.binary_idx_v)
+        blocked = set(sw.blk_cols)
+        g = sw.blk_groups
+        out = []
+        for k in range(sw.N):
+            leader = (k == 0) or (g[k] != g[k - 1])
+            for i in sw.binary_idx_v:
+                if int(i) in blocked and not leader:
+                    continue
+                out.append(k * sw.b + int(i))
+        return tuple(out)
 
     @property
     def warm_size(self):
@@ -98,8 +115,9 @@ class StagewiseBackend:
         u = h[..., 1, :, :]
         lb_xi = lb.reshape(batch + (sw.N, sw.b))
         ub_xi = ub.reshape(batch + (sw.N, sw.b))
-        l = l.at[..., :, sw.nx + sw.nc:].set(lb_xi)
-        u = u.at[..., :, sw.nx + sw.nc:].set(ub_xi)
+        nbox = sw.nx + sw.nc
+        l = l.at[..., :, nbox:nbox + sw.b].set(lb_xi)
+        u = u.at[..., :, nbox:nbox + sw.b].set(ub_xi)
         res = dataclasses.replace(
             res,
             x=res.x.reshape(batch + (sw.N, sw.b)),

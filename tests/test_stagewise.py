@@ -379,3 +379,134 @@ def test_stagewise_bnb_parallel_sweeps(sw_prob):
     assert bool(a.found) and bool(p.found)
     np.testing.assert_allclose(float(p.obj), float(a.obj), rtol=1e-3,
                                atol=1e-3)
+
+
+# ---- move blocking + terminal sets (round 3; SURVEY.md §2a) -------------
+
+
+def _blk_prob(N=8, groups=None, terminal=None):
+    model = switched_double_integrator()
+    groups = groups if groups is not None else [k // 2 for k in range(N)]
+    sw = prepare_stagewise(model, N, default_weights(),
+                           blocking=groups, terminal=terminal)
+    return model, N, sw
+
+
+def test_stagewise_blocking_operator_and_K(rng):
+    """With blocking + terminal rows, the structured operators must stay
+    mutually adjoint and the block LU must still invert K = P + sigmaI +
+    A'diag(rho)A (the rows are per-stage now, so this exercises the
+    per-stage K assembly)."""
+    Et = np.vstack([np.eye(2), -np.eye(2)])
+    ft = np.full(4, 0.5)
+    model, N, sw = _blk_prob(terminal=(Et, ft))
+    assert sw.m_k == sw.nx + sw.nc + sw.b + sw.n_blk + 4
+    xi = jnp.asarray(rng.normal(size=(N, sw.b)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(N, sw.m_k)), jnp.float32)
+    lhs = float(jnp.sum(_apply_A(sw, xi) * w))
+    rhs = float(jnp.sum(xi * _apply_AT(sw, w)))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
+    r = jnp.asarray(rng.normal(size=(N, sw.b)), jnp.float32)
+    x = _solve_K(sw, r)
+
+    def K_apply(v):
+        Av = _apply_A(sw, v)
+        return (jnp.einsum("kij,kj->ki", sw.P_diag, v) + sw.sigma * v
+                + _apply_AT(sw, sw.rho_rows * Av))
+
+    np.testing.assert_allclose(np.asarray(K_apply(x)), np.asarray(r),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_stagewise_blocking_miqp_parity_N60():
+    """MIQP parity at N=60 under move blocking (VERDICT r2 item 7):
+    stagewise equality-row blocking + leader-only branching vs the
+    condensed decision-reshaping blocking — same plan, same true fp64
+    cost. Blocking shrinks both searches to 12 branching binaries, so
+    the full B&B stays CPU-cheap even at this horizon."""
+    from pyhybridcontrol_tpu.control.mpc import MpcController
+    from pyhybridcontrol_tpu.solver.bnb import BnbSpec
+
+    model = switched_double_integrator()
+    w = default_weights()
+    N = 60
+    groups = [k // 5 for k in range(N)]
+    x0 = np.array([1.2, -0.4])
+    spec = BnbSpec(capacity=512, wave_size=32, max_waves=64, qp_iters=400)
+    out = {}
+    for sol in ("bnb", "stagewise"):
+        ctrl = MpcController(model, N, weights=w, solver=sol,
+                             bnb_spec=spec, qp_iters=400)
+        ctrl.set_move_blocking(groups)
+        out[sol] = ctrl.feedback(jnp.asarray(x0, jnp.float32))
+    a, b = out["bnb"], out["stagewise"]
+    assert bool(a.found) and bool(b.found)
+    Ja = _true_plan_cost(model, w, x0, np.asarray(a.v_seq))
+    Jb = _true_plan_cost(model, w, x0, np.asarray(b.v_seq))
+    np.testing.assert_allclose(Ja, Jb, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(a.u), np.asarray(b.u),
+                               atol=2e-2)
+    # the stagewise plan honors the blocking ties
+    vb = np.asarray(b.v_seq)
+    for k in range(1, N):
+        if groups[k] == groups[k - 1]:
+            np.testing.assert_allclose(vb[k, 0], vb[k - 1, 0], atol=5e-3)
+
+
+def test_stagewise_terminal_parity_condensed_N60():
+    """Terminal-set rows at N=60, relaxed QP: stagewise last-stage rows
+    vs the condensed terminal_E/terminal_f build. The set must BIND
+    (checked), and the stagewise optimum must equal the stagewise-frame
+    objective evaluated at the condensed solution point (the frames
+    differ by an x0/N-dependent constant, so raw objectives are not
+    comparable — see test_stagewise_matches_oracle_relaxation)."""
+    from pyhybridcontrol_tpu.ops.admm import admm_solve, prepare_admm_mpc
+
+    N = 60
+    Et = np.vstack([np.eye(2), -np.eye(2)])
+    ft = np.full(4, 0.05)                 # x_N in a tight box
+    model = switched_double_integrator()
+    sw = prepare_stagewise(model, N, default_weights(), terminal=(Et, ft))
+    x0 = np.array([1.5, 0.0])
+    q, l, u = assemble_stagewise(sw, jnp.asarray(x0, jnp.float32))
+    res = stagewise_admm_solve(sw, q, l, u, iters=2000)
+    assert float(res.r_prim_rel) < 1e-3
+    xN = np.asarray(res.x)[-1, sw.nv:]
+    assert np.all(np.abs(xN) <= 0.05 + 2e-3)   # terminal set enforced
+
+    c = CondensedMpc(model, N, default_weights(),
+                     terminal_E=Et, terminal_f=ft)
+    qp, admm = c.device_qp(), prepare_admm_mpc(c)
+    f, h = qp.assemble(jnp.asarray(x0, jnp.float32))
+    ref = admm_solve(admm, f, h, qp.lb, qp.ub, iters=2000)
+    assert float(ref.r_prim_rel) < 1e-3
+    xi_ref = _oracle_point_to_xi(c, np.asarray(ref.x, np.float64), x0,
+                                 N, model.info.nx)
+    want = _stagewise_obj_at(sw, q, xi_ref)
+    np.testing.assert_allclose(float(res.obj), want, rtol=5e-3, atol=5e-3)
+
+
+def test_stagewise_terminal_miqp_parity():
+    """Terminal set through the controller MIQP path at N=12: both
+    solvers return the same plan/cost and respect the terminal set."""
+    from pyhybridcontrol_tpu.control.mpc import MpcController
+    from pyhybridcontrol_tpu.solver.bnb import BnbSpec
+
+    model = switched_double_integrator()
+    w = default_weights()
+    N = 12
+    Et = np.vstack([np.eye(2), -np.eye(2)])
+    ft = np.full(4, 0.2)
+    x0 = np.array([1.2, -0.6])
+    spec = BnbSpec(capacity=512, wave_size=32, max_waves=64, qp_iters=400)
+    out = {}
+    for sol in ("bnb", "stagewise"):
+        ctrl = MpcController(model, N, weights=w, solver=sol,
+                             bnb_spec=spec, qp_iters=400)
+        ctrl.set_terminal_constraint(Et, ft)
+        out[sol] = ctrl.feedback(jnp.asarray(x0, jnp.float32))
+    a, b = out["bnb"], out["stagewise"]
+    assert bool(a.found) and bool(b.found)
+    Ja = _true_plan_cost(model, w, x0, np.asarray(a.v_seq))
+    Jb = _true_plan_cost(model, w, x0, np.asarray(b.v_seq))
+    np.testing.assert_allclose(Ja, Jb, rtol=2e-3, atol=2e-3)
