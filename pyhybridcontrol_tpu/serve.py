@@ -5,8 +5,11 @@
 stdin mode (default): one JSON request per line on stdin, one JSON
 response per line on stdout — the minimal production-embedding surface.
 The controller itself is a single resident device program, so
-per-request latency is the feedback solve measured in bench: ~1 ms at
-N=10 after warmup.
+per-request latency after warmup is one feedback solve — the measured
+number is the config-1 ``ms_per_control_step`` row of
+``BENCH_DETAILS.json`` (regenerated every bench run; do not hard-code
+it here — round-2 shipped a stale "~1 ms" from a harness later found
+broken).
 
 TCP mode (``--tcp PORT``; the SURVEY.md §5 serving surface hardened):
 a line-delimited-JSON socket front serving many concurrent clients from

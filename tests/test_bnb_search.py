@@ -216,3 +216,44 @@ def test_flipdelta_branching_preserves_optimum(prob):
     assert bool(fd.found) and bool(pc.found)
     np.testing.assert_allclose(float(fd.obj), float(pc.obj),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_rel_gap_stop_fires_early_on_hull_pwa():
+    """config-2b semantics in-suite (VERDICT r2 item 9): on a hull-PWA
+    instance the certified rel_gap stop must terminate the search EARLY
+    (waves < both max_waves and the exact run's tree-exhaustion wave)
+    with a certified gap at or under the target, and an incumbent within
+    the target of the exact optimum."""
+    from pyhybridcontrol_tpu.models.pwa_examples import (
+        pwa_spring_mld, pwa_weights)
+    from pyhybridcontrol_tpu.solver.repair import (
+        prepare_repair, root_repair_incumbent)
+
+    m = pwa_spring_mld(on_off=True, formulation="hull")
+    c = CondensedMpc(m, 10, pwa_weights())
+    qp, admm = c.device_qp(), prepare_admm_mpc(c)
+    probe = prepare_admm_mpc(c, rho=10.0)
+    rspec = prepare_repair(m, pwa_weights())
+    x0 = jnp.asarray([1.5, 0.0])
+    f, h = qp.assemble(x0)
+    seed = root_repair_incumbent(admm, qp, rspec, x0, f, h, qp_iters=400)
+
+    def run(rel_gap):
+        return solve_miqp_bnb(
+            admm, qp, f, h,
+            BnbSpec(capacity=512, wave_size=64, max_waves=48,
+                    qp_iters=200, probe_iters=600, gap=1e-3,
+                    probe_patience=3, rel_gap=rel_gap),
+            init_incumbent=seed, admm_probe=probe)
+
+    exact = run(0.0)          # runs to tree exhaustion (~18 waves)
+    gapped = run(0.05)
+    assert bool(exact.found) and bool(gapped.found)
+    assert int(gapped.waves) < 48
+    assert int(gapped.waves) < int(exact.waves)
+    go, gb = float(gapped.obj), float(gapped.best_open_bound)
+    assert np.isfinite(gb)
+    cert = (go - gb) / max(1.0, abs(go))
+    assert 0.0 <= cert <= 0.05 + 1e-6
+    # the incumbent itself is within the certified gap of the optimum
+    assert go <= float(exact.obj) * (1 + 0.05) + 1e-6
