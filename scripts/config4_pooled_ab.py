@@ -6,6 +6,11 @@ process skew timings 10-20%):
 
     python scripts/config4_pooled_ab.py vmapped
     python scripts/config4_pooled_ab.py pooled [wave_size] [pool_slots]
+    python scripts/config4_pooled_ab.py pooled_gated [wave_size] [pool_slots]
+
+``pooled_gated`` = pooled + probe_patience=3 (round-3: the pooled
+driver now honors probe gating — VERDICT r2 item 5); compare obj_sum
+across arms for identical per-instance incumbents.
 
 Prints one JSON line with miqp/s, nodes/s, found_frac and a per-instance
 objective checksum (sum of incumbent objectives) so the two arms can be
@@ -63,7 +68,8 @@ def main():
         # spec.capacity — capacity only needs to satisfy the
         # wave_size <= capacity construction check
         spec = BnbSpec(capacity=W, wave_size=W,
-                       max_waves=4096, qp_iters=100)
+                       max_waves=4096, qp_iters=100,
+                       probe_patience=3 if arm == "pooled_gated" else 0)
 
         def run(f_, h_):
             return solve_miqp_bnb_pooled(admm, qp, f_, h_, spec,
