@@ -366,8 +366,11 @@ def main():
             probe4 = prepare_admm_mpc(c10, rho=10.0)
 
             def solve4(f_, h_):
+                # pool 8·B: measured +22% vs 32·B at identical
+                # per-instance objectives, no overflow (smaller top_k /
+                # scatter footprint per wave); 4·B overflows.
                 return solve_miqp_bnb_pooled(admm10, qp10, f_, h_, spec4,
-                                             pool_slots=32 * B4,
+                                             pool_slots=8 * B4,
                                              admm_probe=probe4)
             dt, r4 = _timeit(solve4, f4, h4, reps=3)
             nodes4 = int(np.sum(np.asarray(r4.nodes_solved)))

@@ -111,6 +111,20 @@ class CondensedBackend:
         return admm_solve_auto(self.admm, f, h, lb, ub, iters=iters - k,
                                warm=(r1.x, r1.z, r1.y))
 
+    def solve_wave(self, f, h, lb, ub, iters, probe_iters, warm=None):
+        """Fused relaxation + dive probe (ops/pallas_admm.py
+        ``admm_wave_auto``): ONE kernel program on TPU — the relax
+        iterates warm-start the probe in VMEM, removing two kernel
+        launches and their iterate HBM round-trips per wave; the exact
+        sequential composition on the XLA path. Returns
+        ``(relax, probe, lb_probe, ub_probe)``."""
+        from pyhybridcontrol_tpu.ops.pallas_admm import admm_wave_auto
+
+        return admm_wave_auto(self.admm, self.admm_probe,
+                              self.binary_idx, f, h, lb, ub,
+                              iters=iters, probe_iters=probe_iters,
+                              warm=warm)
+
     def node_bound(self, res, f, h, lb, ub):
         from pyhybridcontrol_tpu.ops.admm import admm_dual_bound
 
@@ -418,16 +432,71 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
         fv = s.fix_val[sel]
         parent_bound = s.bound[sel]
 
-        # -- 2. batched relaxations -------------------------------------
+        # -- 2. batched relaxations + gated fused probe -------------------
         lb, ub = node_bounds(fm, fv)
         warm = ((s.x_pool[sel], s.z_pool[sel], s.y_pool[sel])
                 if spec.warm_start else None)
-        relax = backend.solve(fb, hb, lb, ub, spec.qp_iters, warm=warm)
-        converged = relax.r_prim_rel < spec.feas_tol
-        infeasible = relax.infeas_cert | (relax.r_prim_rel > spec.infeas_tol)
         node_bound = getattr(backend, "node_bound", None)
         node_cert = (getattr(backend, "node_cert", None)
                      if spec.presolve_fix and nb > 0 else None)
+        solve_wave = getattr(backend, "solve_wave", None)
+        piters = spec.probe_iters or spec.qp_iters
+        acc_tol = spec.inc_tol or spec.feas_tol
+
+        # probe gate, decided BEFORE the wave (round-3): the round-2
+        # gate also probed whenever the selection held integral/leaf
+        # nodes — but that reads the relaxation, serializing relax →
+        # decision → probe and blocking the fused relax+probe kernel.
+        # Leaves no longer need it: integral/leaf relaxations become
+        # incumbents directly (harvest below) and unresolved leaves are
+        # DEFERRED to the next probing wave instead of pruned.
+        if spec.probe_patience == 0:
+            probe_ran = jnp.asarray(True)
+        else:
+            retry = (s.wave % jnp.int32(spec.probe_patience + 1)) == 0
+            probe_ran = (~s.inc_found | retry
+                         | (s.probe_stale < spec.probe_patience))
+
+        def wave_probe(_):
+            if solve_wave is not None:
+                relax, probe, lb_p, ub_p = solve_wave(
+                    fb, hb, lb, ub, spec.qp_iters, piters, warm=warm)
+            else:
+                relax = backend.solve(fb, hb, lb, ub, spec.qp_iters,
+                                      warm=warm)
+                xb = relax.x[:, bidx]
+                pv = jnp.where(fm, fv, jnp.round(jnp.clip(xb, 0.0, 1.0)))
+                lb_p, ub_p = node_bounds(jnp.ones_like(fm), pv)
+                probe = backend.solve_probe(
+                    fb, hb, lb_p, ub_p, piters,
+                    warm=(relax.x, relax.z, relax.y))
+            ok = (probe.r_prim_rel < acc_tol) & valid
+            pobj = probe.obj
+            if node_bound is not None:
+                # Clamp the candidate with the leaf's certified dual
+                # bound: a feas_tol-feasible but unconverged probe
+                # iterate can report an objective BELOW the true leaf
+                # optimum (measured on-chip: −42.93 vs −42.69, 0.57%),
+                # corrupting both the reported incumbent and pruning.
+                pcert = node_bound(probe, fb, hb, lb_p, ub_p)
+                pobj = jnp.where(jnp.isfinite(pcert),
+                                 jnp.maximum(pobj, pcert), pobj)
+            return relax, jnp.where(ok, pobj, BIG), probe.x, ok
+
+        def wave_noprobe(_):
+            relax = backend.solve(fb, hb, lb, ub, spec.qp_iters,
+                                  warm=warm)
+            return (relax, jnp.full((W,), BIG, dtype),
+                    jnp.zeros_like(relax.x), jnp.zeros((W,), bool))
+
+        if spec.probe_patience == 0:
+            relax, probe_obj, probe_x, probe_ok = wave_probe(None)
+        else:
+            relax, probe_obj, probe_x, probe_ok = jax.lax.cond(
+                probe_ran, wave_probe, wave_noprobe, None)
+
+        converged = relax.r_prim_rel < spec.feas_tol
+        infeasible = relax.infeas_cert | (relax.r_prim_rel > spec.infeas_tol)
         presolve = None
         if node_cert is not None:
             # CERTIFIED dual bound + per-binary presolve data (flip
@@ -489,65 +558,36 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
         pc_cnt = s.pc_cnt.at[bv_safe, bdir].add(
             obs.astype(s.pc_cnt.dtype), mode="drop")
 
-        # -- 3. probe (dive): all binaries fixed to rounded -------------
-        pv = jnp.where(fm, fv, rounded)
-        ones = jnp.ones_like(fm)
-        lb_p, ub_p = node_bounds(ones, pv)
+        # -- 3. incumbents: probe candidates + relax-leaf harvest --------
+        # Harvest (round-3): a node whose relaxation is INTEGRAL (or
+        # fully fixed) and acc_tol-feasible is itself a feasible MIQP
+        # point — record it directly instead of relying on the probe to
+        # rediscover it. This is what lets the probe gate be decided
+        # pre-wave (no leafish condition) without losing incumbents.
+        harvest_ok = (valid & ~infeasible & (integral | fully_fixed)
+                      & (relax.r_prim_rel < acc_tol))
+        candR = relax.obj
+        if bound_certified:
+            # same certified clamp as the probe candidates: `lower` is
+            # a valid lower bound of the node's QP, and at an integral/
+            # leaf point the QP value IS the candidate's MIQP value.
+            candR = jnp.maximum(candR, jnp.where(jnp.isfinite(lower),
+                                                 lower, -BIG))
+        candR = jnp.where(harvest_ok, candR, BIG)
 
-        def do_probe(_):
-            probe_solve = getattr(backend, "solve_probe", backend.solve)
-            probe = probe_solve(fb, hb, lb_p, ub_p,
-                                spec.probe_iters or spec.qp_iters,
-                                warm=(relax.x, relax.z, relax.y))
-            ok = (probe.r_prim_rel < (spec.inc_tol or spec.feas_tol)) & valid
-            pobj = probe.obj
-            if node_bound is not None:
-                # Clamp the candidate with the leaf's certified dual
-                # bound: a feas_tol-feasible but unconverged probe
-                # iterate can report an objective BELOW the true leaf
-                # optimum (measured on-chip: −42.93 vs −42.69, 0.57%),
-                # corrupting both the reported incumbent and pruning.
-                # The cert bound is a valid lower bound for the leaf
-                # QP, so max() removes the unconverged drift while
-                # keeping the candidate ≤ any genuinely better probe.
-                pcert = node_bound(probe, fb, hb, lb_p, ub_p)
-                pobj = jnp.where(jnp.isfinite(pcert),
-                                 jnp.maximum(pobj, pcert), pobj)
-            return jnp.where(ok, pobj, BIG), probe.x, ok
-
-        if spec.probe_patience == 0:
-            probe_obj, probe_x, probe_ok = do_probe(None)
-            probe_ran = jnp.asarray(True)
-        else:
-            # gate: probe while no incumbent yet, while probes are hot,
-            # or when the selection holds integral/leaf nodes (those
-            # only become incumbents through the probe solve). While
-            # GATED, still retry every (patience+1)-th wave: the stale
-            # counter only advances on probed waves, so without the
-            # periodic retry the gate would close PERMANENTLY after the
-            # first `patience` dry waves — measured on hull-PWA (config
-            # 2, where probes are the only incumbent source early on)
-            # the incumbent then never left the repair seed (84.03 vs
-            # 61.01 at 32 waves). A successful retry resets stale → full
-            # probing resumes while productive; the tail still skips
-            # patience/(patience+1) of the probe work.
-            leafish = jnp.any(valid & (integral | fully_fixed))
-            retry = (s.wave % jnp.int32(spec.probe_patience + 1)) == 0
-            probe_ran = (~s.inc_found | leafish | retry
-                         | (s.probe_stale < spec.probe_patience))
-            probe_obj, probe_x, probe_ok = jax.lax.cond(
-                probe_ran, do_probe,
-                lambda _: (jnp.full((W,), BIG, lower.dtype),
-                           jnp.zeros_like(relax.x),
-                           jnp.zeros((W,), bool)),
-                None)
-        k = jnp.argmin(probe_obj)
-        better = probe_obj[k] < s.inc_obj
-        inc_obj = jnp.where(better, probe_obj[k], s.inc_obj)
-        inc_x = jnp.where(better, probe_x[k], s.inc_x)
-        inc_found = s.inc_found | (better & probe_ok[k])
+        all_obj = jnp.concatenate([probe_obj, candR])
+        all_x = jnp.concatenate([probe_x, relax.x])
+        all_ok = jnp.concatenate([probe_ok, harvest_ok])
+        k = jnp.argmin(all_obj)
+        better = all_obj[k] < s.inc_obj
+        inc_obj = jnp.where(better, all_obj[k], s.inc_obj)
+        inc_x = jnp.where(better, all_x[k], s.inc_x)
+        inc_found = s.inc_found | (better & all_ok[k])
+        # the stale counter tracks PROBE productivity only (it gates
+        # probe work, not the free harvest)
+        probe_better = jnp.min(probe_obj) < s.inc_obj
         probe_stale = jnp.where(
-            probe_ran & better, 0,
+            probe_ran & probe_better, 0,
             s.probe_stale + probe_ran.astype(jnp.int32))
         if reduce_incumbent is not None:
             inc_obj, inc_x, inc_found = reduce_incumbent(
@@ -557,9 +597,21 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
         bound_prune = (lower >= inc_obj - spec.gap)
         if not bound_certified:
             bound_prune &= converged
-        prune = ((~valid) | infeasible | fully_fixed
+        # DEFER unresolved leaves on probe-gated waves: a fully-fixed or
+        # integral node whose relaxation did not reach acc_tol
+        # (degenerate big-M leaves need probe_iters + the stiff-ρ phase
+        # to certify; inc_tol may be stricter than feas_tol) would
+        # otherwise be pruned without its value ever being recorded.
+        # The node stays active with its tightened bound and resolves
+        # on the next probing wave (the periodic retry bounds the wait
+        # to `patience` waves).
+        leaf_unresolved = (valid & ~infeasible & ~probe_ran
+                           & ~(relax.r_prim_rel < acc_tol)
+                           & (fully_fixed | (converged & integral)))
+        prune = ((~valid) | infeasible
+                 | (fully_fixed & ~leaf_unresolved)
                  | bound_prune
-                 | (converged & integral))
+                 | (converged & integral & ~leaf_unresolved))
         expand = valid & ~prune
 
         # -- 4b. node presolve (certificate-backed binary fixing) --------

@@ -214,13 +214,59 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
         fv = s.fix_val[sel]
         parent_bound = s.bound[sel]
 
-        # -- 2. batched relaxations (ONE (W, n) solve — kernel path) -----
+        # -- 2. batched relaxations + gated fused probe (ONE (W, n)
+        # kernel program per probing wave — see solver/bnb.py) ------------
         fb = f[ni]
         hb = h[ni]
         lb, ub = node_bounds(fm, fv)
         warm = ((s.x_pool[sel], s.z_pool[sel], s.y_pool[sel])
                 if spec.warm_start else None)
-        relax = backend.solve(fb, hb, lb, ub, spec.qp_iters, warm=warm)
+        solve_wave = getattr(backend, "solve_wave", None)
+        piters = spec.probe_iters or spec.qp_iters
+        acc_tol = spec.inc_tol or spec.feas_tol
+
+        # pre-wave probe gate (same semantics as solver/bnb.py: leaves
+        # self-report via the relax harvest; unresolved leaves defer)
+        if spec.probe_patience == 0:
+            probe_ran = jnp.asarray(True)
+        else:
+            retry = (s.wave % jnp.int32(spec.probe_patience + 1)) == 0
+            probe_ran = (~jnp.all(s.inc_found) | retry
+                         | (s.probe_stale < spec.probe_patience))
+
+        def wave_probe(_):
+            if solve_wave is not None:
+                relax, probe, lb_p, ub_p = solve_wave(
+                    fb, hb, lb, ub, spec.qp_iters, piters, warm=warm)
+            else:
+                relax = backend.solve(fb, hb, lb, ub, spec.qp_iters,
+                                      warm=warm)
+                xb = relax.x[:, bidx]
+                pv = jnp.where(fm, fv, jnp.round(jnp.clip(xb, 0.0, 1.0)))
+                lb_p, ub_p = node_bounds(jnp.ones_like(fm), pv)
+                probe = backend.solve_probe(
+                    fb, hb, lb_p, ub_p, piters,
+                    warm=(relax.x, relax.z, relax.y))
+            ok = (probe.r_prim_rel < acc_tol) & valid
+            # certified-clamp: see solver/bnb.py — a feas_tol iterate's
+            # objective can sit BELOW the true leaf optimum.
+            pcert = backend.node_bound(probe, fb, hb, lb_p, ub_p)
+            pobj = jnp.where(jnp.isfinite(pcert),
+                             jnp.maximum(probe.obj, pcert), probe.obj)
+            return relax, jnp.where(ok, pobj, BIG), probe.x, ok
+
+        def wave_noprobe(_):
+            relax = backend.solve(fb, hb, lb, ub, spec.qp_iters,
+                                  warm=warm)
+            return (relax, jnp.full((W,), BIG, dtype),
+                    jnp.zeros_like(relax.x), jnp.zeros((W,), bool))
+
+        if spec.probe_patience == 0:
+            relax, cand, probe_x, probe_ok = wave_probe(None)
+        else:
+            relax, cand, probe_x, probe_ok = jax.lax.cond(
+                probe_ran, wave_probe, wave_noprobe, None)
+
         converged = relax.r_prim_rel < spec.feas_tol
         infeasible = (relax.infeas_cert
                       | (relax.r_prim_rel > spec.infeas_tol))
@@ -259,67 +305,44 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
         pc_cnt = s.pc_cnt.at[bv_safe, bdir].add(
             obs.astype(s.pc_cnt.dtype), mode="drop")
 
-        # -- 3. probe (dive) — second (W, n) kernel batch ----------------
-        pv = jnp.where(fm, fv, rounded)
-        ones = jnp.ones_like(fm)
-        lb_p, ub_p = node_bounds(ones, pv)
+        # -- 3. incumbents: probe candidates + relax-leaf harvest --------
+        # (see solver/bnb.py — integral/leaf relaxations self-report)
+        harvest_ok = (valid & ~infeasible & (integral | fully_fixed)
+                      & (relax.r_prim_rel < acc_tol))
+        candR = jnp.maximum(relax.obj,
+                            jnp.where(jnp.isfinite(lower), lower, -BIG))
+        candR = jnp.where(harvest_ok, candR, BIG)
 
-        def do_probe(_):
-            probe = backend.solve_probe(fb, hb, lb_p, ub_p,
-                                        spec.probe_iters or spec.qp_iters,
-                                        warm=(relax.x, relax.z, relax.y))
-            ok = (probe.r_prim_rel
-                  < (spec.inc_tol or spec.feas_tol)) & valid
-            # certified-clamp: see solver/bnb.py do_probe — a feas_tol
-            # iterate's objective can sit BELOW the true leaf optimum.
-            pcert = backend.node_bound(probe, fb, hb, lb_p, ub_p)
-            pobj = jnp.where(jnp.isfinite(pcert),
-                             jnp.maximum(probe.obj, pcert), probe.obj)
-            return jnp.where(ok, pobj, BIG), probe.x, ok
-
-        if spec.probe_patience == 0:
-            cand, probe_x, probe_ok = do_probe(None)
-            probe_ran = jnp.asarray(True)
-        else:
-            # probe gating — same semantics as solver/bnb.py (round-2
-            # silently ignored spec.probe_patience on THIS engine, the
-            # config-4 path the gating was built to speed up): probe
-            # while ANY instance lacks an incumbent, while probes are
-            # hot, when the selection holds integral/leaf nodes (those
-            # only become incumbents through the probe solve), and
-            # periodically every (patience+1)-th wave so the gate never
-            # closes permanently.
-            leafish = jnp.any(valid & (integral | fully_fixed))
-            retry = (s.wave % jnp.int32(spec.probe_patience + 1)) == 0
-            probe_ran = (~jnp.all(s.inc_found) | leafish | retry
-                         | (s.probe_stale < spec.probe_patience))
-            cand, probe_x, probe_ok = jax.lax.cond(
-                probe_ran, do_probe,
-                lambda _: (jnp.full((W,), BIG, dtype),
-                           jnp.zeros_like(relax.x),
-                           jnp.zeros((W,), bool)),
-                None)
-
+        obj2 = jnp.concatenate([cand, candR])
+        x2 = jnp.concatenate([probe_x, relax.x])
+        ok2 = jnp.concatenate([probe_ok, harvest_ok])
+        ni2 = jnp.concatenate([ni, ni])
         # per-instance incumbent update: scatter-min on obj, then a
         # deterministic unique-winner scatter for the plan (lowest wave
         # row wins ties so sharded/unsharded compilations agree).
-        inc_obj = s.inc_obj.at[ni].min(cand)
-        improved = probe_ok & (cand < s.inc_obj[ni]) & (cand <= inc_obj[ni])
+        inc_obj = s.inc_obj.at[ni2].min(obj2)
+        improved = ok2 & (obj2 < s.inc_obj[ni2]) & (obj2 <= inc_obj[ni2])
+        probe_improved = improved[:W]
         probe_stale = jnp.where(
-            probe_ran & jnp.any(improved), 0,
+            probe_ran & jnp.any(probe_improved), 0,
             s.probe_stale + probe_ran.astype(jnp.int32))
-        rows = jnp.arange(W)
-        first = jnp.full((B,), W, jnp.int32).at[ni].min(
-            jnp.where(improved, rows, W).astype(jnp.int32))
-        winner = improved & (rows == first[ni])
-        tgt = jnp.where(winner, ni, B)
-        inc_x = s.inc_x.at[tgt].set(probe_x, mode="drop")
+        rows = jnp.arange(2 * W)
+        first = jnp.full((B,), 2 * W, jnp.int32).at[ni2].min(
+            jnp.where(improved, rows, 2 * W).astype(jnp.int32))
+        winner = improved & (rows == first[ni2])
+        tgt = jnp.where(winner, ni2, B)
+        inc_x = s.inc_x.at[tgt].set(x2, mode="drop")
         inc_found = s.inc_found.at[tgt].set(True, mode="drop")
 
-        # -- 4. prune (per-instance incumbent) ---------------------------
-        prune = ((~valid) | infeasible | fully_fixed
+        # -- 4. prune (per-instance incumbent); defer unresolved leaves
+        # on probe-gated waves (see solver/bnb.py) -----------------------
+        leaf_unresolved = (valid & ~infeasible & ~probe_ran
+                           & ~(relax.r_prim_rel < acc_tol)
+                           & (fully_fixed | (converged & integral)))
+        prune = ((~valid) | infeasible
+                 | (fully_fixed & ~leaf_unresolved)
                  | (lower >= inc_obj[ni] - spec.gap)
-                 | (converged & integral))
+                 | (converged & integral & ~leaf_unresolved))
         expand = valid & ~prune
 
         # -- 4b. node presolve (see solver/bnb.py — per-INSTANCE

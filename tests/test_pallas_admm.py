@@ -278,3 +278,59 @@ def test_pooled_bnb_through_kernel(rng, monkeypatch):
     assert np.asarray(r_k.found).all() and np.asarray(r_xla.found).all()
     np.testing.assert_allclose(np.asarray(r_k.obj), np.asarray(r_xla.obj),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_fused_wave_matches_sequential(rng, monkeypatch):
+    """The fused relax+probe kernel (admm_wave_pallas) must reproduce
+    the sequential composition (relax -> rounded probe bounds ->
+    two-phase stiff/base probe) to solver tolerance, including the
+    in-kernel probe-bound derivation."""
+    from pyhybridcontrol_tpu.ops.admm import admm_solve
+    from pyhybridcontrol_tpu.ops.pallas_admm import (
+        admm_wave_pallas, admm_wave_auto, pallas_for)
+
+    model = switched_double_integrator()
+    c = CondensedMpc(model, 8, default_weights())
+    qp = c.device_qp()
+    spec = prepare_admm_mpc(c)
+    spec_p = prepare_admm_mpc(c, rho=10.0)
+    B = 128
+    x0s = jnp.asarray(rng.normal(size=(B, 2)).astype(np.float32))
+    fs, hs = jax.vmap(qp.assemble)(x0s)
+    lb = jnp.broadcast_to(qp.lb, (B, qp.n))
+    ub = jnp.broadcast_to(qp.ub, (B, qp.n))
+    bidx = np.asarray(qp.binary_idx)
+
+    relax_k, probe_k = admm_wave_pallas(
+        pallas_for(spec), pallas_for(spec_p), qp.binary_idx,
+        fs, hs, lb, ub, iters=300, probe_iters=400, interpret=True)
+
+    # sequential XLA reference (identical math by construction)
+    ref = admm_solve(spec, fs, hs, lb, ub, iters=300)
+    xb = np.clip(np.asarray(ref.x)[:, bidx], 0.0, 1.0)
+    pv = jnp.asarray(np.round(xb))
+    lbp = lb.at[:, jnp.asarray(bidx)].set(pv)
+    ubp = ub.at[:, jnp.asarray(bidx)].set(pv)
+    r1 = admm_solve(spec_p, fs, hs, lbp, ubp, iters=200,
+                    warm=(ref.x, ref.z, ref.y))
+    pref = admm_solve(spec, fs, hs, lbp, ubp, iters=200,
+                      warm=(r1.x, r1.z, r1.y))
+
+    np.testing.assert_allclose(np.asarray(relax_k.obj),
+                               np.asarray(ref.obj), rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(probe_k.obj),
+                               np.asarray(pref.obj), rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(probe_k.x),
+                               np.asarray(pref.x), rtol=1e-2, atol=2e-2)
+
+    # the auto entry's XLA fallback agrees with its kernel path
+    monkeypatch.setenv("PHC_PALLAS_FORCE", "interpret")
+    spec_k = prepare_admm_mpc(c)
+    spec_kp = prepare_admm_mpc(c, rho=10.0)
+    rk, pk, lbk, ubk = admm_wave_auto(spec_k, spec_kp, qp.binary_idx,
+                                      fs, hs, qp.lb, qp.ub,
+                                      iters=300, probe_iters=400)
+    np.testing.assert_allclose(np.asarray(pk.obj), np.asarray(pref.obj),
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_array_equal(np.asarray(lbk[:, bidx]),
+                                  np.asarray(pv)[..., :])
