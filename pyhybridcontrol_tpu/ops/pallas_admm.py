@@ -46,6 +46,22 @@ from pyhybridcontrol_tpu.ops.admm import AdmmResult, BoxQP
 
 BIG = 1e30
 
+# Mosaic's default scoped-VMEM budget is 16 MiB; the N=20-scale kernel
+# at tile 128 schedules 16.05 MiB of stack when XLA places it inside a
+# lax.cond branch (measured: the round-3 driver bench's config-2b
+# section OOMed by 48.5 KiB at compile). v5e VMEM is far larger — a
+# 2x budget keeps scheduling feasible with headroom without changing
+# the kernel.
+_VMEM_LIMIT = 32 * 1024 * 1024
+
+
+def _compiler_params():
+    from jax.experimental.pallas import tpu as pltpu
+
+    cp = getattr(pltpu, "CompilerParams", None) or getattr(
+        pltpu, "TPUCompilerParams")
+    return cp(vmem_limit_bytes=_VMEM_LIMIT)
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -451,6 +467,7 @@ def _pallas_run(pq: PallasQP, qT, lGT, uGT, lBT, uBT, warm_arrs,
         kernel,
         grid=grid,
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
         in_specs=in_specs,
         out_specs=[tile_spec(nr),
                    tile_spec(mGp), tile_spec(mGp),
@@ -586,6 +603,7 @@ def _pallas_wave_run(pq: PallasQP, pq2, binmask, qT, lGT, uGT, lBT, uBT,
         kernel,
         grid=grid,
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
         in_specs=in_specs,
         out_specs=[tile_spec(nr), tile_spec(mGp), tile_spec(mGp),
                    tile_spec(nr), tile_spec(nr), tile_spec(8)] * 2,

@@ -558,36 +558,21 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
         pc_cnt = s.pc_cnt.at[bv_safe, bdir].add(
             obs.astype(s.pc_cnt.dtype), mode="drop")
 
-        # -- 3. incumbents: probe candidates + relax-leaf harvest --------
-        # Harvest (round-3): a node whose relaxation is INTEGRAL (or
-        # fully fixed) and acc_tol-feasible is itself a feasible MIQP
-        # point — record it directly instead of relying on the probe to
-        # rediscover it. This is what lets the probe gate be decided
-        # pre-wave (no leafish condition) without losing incumbents.
-        harvest_ok = (valid & ~infeasible & (integral | fully_fixed)
-                      & (relax.r_prim_rel < acc_tol))
-        candR = relax.obj
-        if bound_certified:
-            # same certified clamp as the probe candidates: `lower` is
-            # a valid lower bound of the node's QP, and at an integral/
-            # leaf point the QP value IS the candidate's MIQP value.
-            candR = jnp.maximum(candR, jnp.where(jnp.isfinite(lower),
-                                                 lower, -BIG))
-        candR = jnp.where(harvest_ok, candR, BIG)
-
-        all_obj = jnp.concatenate([probe_obj, candR])
-        all_x = jnp.concatenate([probe_x, relax.x])
-        all_ok = jnp.concatenate([probe_ok, harvest_ok])
-        k = jnp.argmin(all_obj)
-        better = all_obj[k] < s.inc_obj
-        inc_obj = jnp.where(better, all_obj[k], s.inc_obj)
-        inc_x = jnp.where(better, all_x[k], s.inc_x)
-        inc_found = s.inc_found | (better & all_ok[k])
-        # the stale counter tracks PROBE productivity only (it gates
-        # probe work, not the free harvest)
-        probe_better = jnp.min(probe_obj) < s.inc_obj
+        # -- 3. incumbent update (probe candidates only) ------------------
+        # Incumbents flow EXCLUSIVELY through the high-iteration probe
+        # + certified clamp: a first harvest design recorded integral
+        # relaxations directly, but a qp_iters iterate's objective can
+        # sit BELOW the true optimum by more than the cert gap — the
+        # round-3 parity sweep caught the device reporting objectives
+        # 7e-4 rel UNDER the fp64 oracle. Leaf candidates met on gated
+        # waves are deferred instead (see prune below).
+        k = jnp.argmin(probe_obj)
+        better = probe_obj[k] < s.inc_obj
+        inc_obj = jnp.where(better, probe_obj[k], s.inc_obj)
+        inc_x = jnp.where(better, probe_x[k], s.inc_x)
+        inc_found = s.inc_found | (better & probe_ok[k])
         probe_stale = jnp.where(
-            probe_ran & probe_better, 0,
+            probe_ran & better, 0,
             s.probe_stale + probe_ran.astype(jnp.int32))
         if reduce_incumbent is not None:
             inc_obj, inc_x, inc_found = reduce_incumbent(
@@ -597,16 +582,15 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
         bound_prune = (lower >= inc_obj - spec.gap)
         if not bound_certified:
             bound_prune &= converged
-        # DEFER unresolved leaves on probe-gated waves: a fully-fixed or
-        # integral node whose relaxation did not reach acc_tol
-        # (degenerate big-M leaves need probe_iters + the stiff-ρ phase
-        # to certify; inc_tol may be stricter than feas_tol) would
-        # otherwise be pruned without its value ever being recorded.
-        # The node stays active with its tightened bound and resolves
-        # on the next probing wave (the periodic retry bounds the wait
-        # to `patience` waves).
+        # DEFER leaf candidates on probe-gated waves: a fully-fixed or
+        # integral node would otherwise be pruned without its value
+        # ever being recorded (only the probe + certified clamp may
+        # produce incumbents — see the incumbent update above). The
+        # node stays active with its tightened bound and resolves on
+        # the next probing wave (the periodic retry bounds the wait to
+        # `patience` waves); on probing waves behavior is identical to
+        # round 2.
         leaf_unresolved = (valid & ~infeasible & ~probe_ran
-                           & ~(relax.r_prim_rel < acc_tol)
                            & (fully_fixed | (converged & integral)))
         prune = ((~valid) | infeasible
                  | (fully_fixed & ~leaf_unresolved)

@@ -305,39 +305,27 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
         pc_cnt = s.pc_cnt.at[bv_safe, bdir].add(
             obs.astype(s.pc_cnt.dtype), mode="drop")
 
-        # -- 3. incumbents: probe candidates + relax-leaf harvest --------
-        # (see solver/bnb.py — integral/leaf relaxations self-report)
-        harvest_ok = (valid & ~infeasible & (integral | fully_fixed)
-                      & (relax.r_prim_rel < acc_tol))
-        candR = jnp.maximum(relax.obj,
-                            jnp.where(jnp.isfinite(lower), lower, -BIG))
-        candR = jnp.where(harvest_ok, candR, BIG)
-
-        obj2 = jnp.concatenate([cand, candR])
-        x2 = jnp.concatenate([probe_x, relax.x])
-        ok2 = jnp.concatenate([probe_ok, harvest_ok])
-        ni2 = jnp.concatenate([ni, ni])
-        # per-instance incumbent update: scatter-min on obj, then a
-        # deterministic unique-winner scatter for the plan (lowest wave
-        # row wins ties so sharded/unsharded compilations agree).
-        inc_obj = s.inc_obj.at[ni2].min(obj2)
-        improved = ok2 & (obj2 < s.inc_obj[ni2]) & (obj2 <= inc_obj[ni2])
-        probe_improved = improved[:W]
+        # -- 3. per-instance incumbent update (probe candidates only —
+        # see solver/bnb.py for why relax-harvesting was rejected):
+        # scatter-min on obj, then a deterministic unique-winner scatter
+        # for the plan (lowest wave row wins ties so sharded/unsharded
+        # compilations agree).
+        inc_obj = s.inc_obj.at[ni].min(cand)
+        improved = probe_ok & (cand < s.inc_obj[ni]) & (cand <= inc_obj[ni])
         probe_stale = jnp.where(
-            probe_ran & jnp.any(probe_improved), 0,
+            probe_ran & jnp.any(improved), 0,
             s.probe_stale + probe_ran.astype(jnp.int32))
-        rows = jnp.arange(2 * W)
-        first = jnp.full((B,), 2 * W, jnp.int32).at[ni2].min(
-            jnp.where(improved, rows, 2 * W).astype(jnp.int32))
-        winner = improved & (rows == first[ni2])
-        tgt = jnp.where(winner, ni2, B)
-        inc_x = s.inc_x.at[tgt].set(x2, mode="drop")
+        rows = jnp.arange(W)
+        first = jnp.full((B,), W, jnp.int32).at[ni].min(
+            jnp.where(improved, rows, W).astype(jnp.int32))
+        winner = improved & (rows == first[ni])
+        tgt = jnp.where(winner, ni, B)
+        inc_x = s.inc_x.at[tgt].set(probe_x, mode="drop")
         inc_found = s.inc_found.at[tgt].set(True, mode="drop")
 
-        # -- 4. prune (per-instance incumbent); defer unresolved leaves
+        # -- 4. prune (per-instance incumbent); defer leaf candidates
         # on probe-gated waves (see solver/bnb.py) -----------------------
         leaf_unresolved = (valid & ~infeasible & ~probe_ran
-                           & ~(relax.r_prim_rel < acc_tol)
                            & (fully_fixed | (converged & integral)))
         prune = ((~valid) | infeasible
                  | (fully_fixed & ~leaf_unresolved)

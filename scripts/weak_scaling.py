@@ -73,8 +73,6 @@ def main():
 
     from pyhybridcontrol_tpu.models.battery import (
         battery_model, battery_weights)
-    from pyhybridcontrol_tpu.models.dewh import (
-        dewh_model, dewh_weights, min_up_down_rows)
     from pyhybridcontrol_tpu.ops.admm import prepare_admm_mpc
     from pyhybridcontrol_tpu.ops.condense import CondensedMpc
     from pyhybridcontrol_tpu.parallel import make_mesh, solve_miqp_bnb_sharded
@@ -151,15 +149,26 @@ def main():
         Pn *= 2
 
     # ---- axis 2: strong scaling, one B&B, fixed node budget ----------
-    model_d = dewh_model()
-    cd = CondensedMpc(model_d, 24, dewh_weights())
-    A_v, b = min_up_down_rows(24, model_d.info.nv, min_up=2)
-    if len(b):
-        cd = cd.with_extra_constraints(A_v, b)
+    # Instance: hull-PWA N=16 (config-2 family). Round-2 used the dewh
+    # UC instance, but the round-3 search improvements (leaf harvest,
+    # node presolve, certified bounds) close its tree in ~27 nodes —
+    # the fixed node budget never engages and the axis measured an
+    # 11-wave no-op. The hull-PWA tree stays thousands of nodes deep,
+    # so the budgeted strong-scaling measurement is meaningful again.
+    from pyhybridcontrol_tpu.models.pwa_examples import (
+        pwa_spring_mld, pwa_weights)
+
+    from pyhybridcontrol_tpu.solver.repair import (
+        prepare_repair, root_repair_incumbent)
+
+    model_d = pwa_spring_mld(on_off=True, formulation="hull")
+    cd = CondensedMpc(model_d, 16, pwa_weights())
     qpd, admd = cd.device_qp(), prepare_admm_mpc(cd)
-    nx = model_d.info.nx
-    x0 = jnp.asarray(np.tile([55.0, 0.0], nx // 2)[:nx], jnp.float32)
+    x0 = jnp.asarray([1.5, 0.0], jnp.float32)
     fd, hd = qpd.assemble(x0)
+    rsp = prepare_repair(model_d, pwa_weights())
+    seed_d = root_repair_incumbent(admd, qpd, rsp, x0, fd, hd,
+                                   qp_iters=400)
 
     results_pool = {}
     t1 = None
@@ -172,12 +181,14 @@ def main():
         spec = BnbSpec(capacity=2048, wave_size=w, max_waves=waves,
                        qp_iters=args.qp_iters, warm_start=True,
                        root_iters=4 * args.qp_iters)
-        r = solve_miqp_bnb_sharded(admd, qpd, fd, hd, spec, mesh)
+        r = solve_miqp_bnb_sharded(admd, qpd, fd, hd, spec, mesh,
+                                   init_incumbent=seed_d)
         r.obj.block_until_ready()
         best = None
         for _ in range(args.reps):
             t0 = time.perf_counter()
-            r = solve_miqp_bnb_sharded(admd, qpd, fd, hd, spec, mesh)
+            r = solve_miqp_bnb_sharded(admd, qpd, fd, hd, spec, mesh,
+                                       init_incumbent=seed_d)
             r.obj.block_until_ready()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
