@@ -55,16 +55,25 @@ def _chain(x, out):
 
 
 def _timeit(fn, *args, reps=5):
-    """Serialized (chained-dependency) timing; returns (s/rep, out)."""
+    """Serialized timing; returns (best s/rep, out). Each rep is fetched
+    and timed individually and the MINIMUM is reported: the axon tunnel
+    has multi-second slow phases (measured: config 4 at identical node
+    counts swung 0.34 s → 0.99 s between runs), and a mean lets one
+    slow phase triple a section's number. Per-rep fetch overhead is
+    ~ms — negligible against the 100 ms–10 s sections this times. The
+    chained input perturbation still prevents program dedup/overlap."""
     out = fn(*args)
     _fetch(out)                      # compile + warm
     a0 = args[0]
-    t0 = time.perf_counter()
+    best = None
     for _ in range(reps):
+        t0 = time.perf_counter()
         out = fn(a0, *args[1:])
+        _fetch(out)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
         a0 = _chain(args[0], out)
-    _fetch(out)
-    return (time.perf_counter() - t0) / reps, out
+    return best, out
 
 
 def _timeit_marginal(fn, x, lo=8, hi=16):

@@ -184,9 +184,10 @@ class BnbSpec:
     # incumbent k waves in a row, probe only every (k+1)-th wave
     # (periodic retry; a success resets the counter and full probing
     # resumes) — cuts k/(k+1) of the probe QP work in the common tail
-    # where pruning alone finishes. Waves whose selection contains an
-    # integral/leaf node always probe (that is how leaves produce
-    # incumbents).
+    # where pruning alone finishes. The gate is decided BEFORE the
+    # wave (enables the fused relax+probe kernel); leaf/integral nodes
+    # met on a gated wave are DEFERRED to the next probing wave, so
+    # every incumbent still comes from the probe + certified clamp.
     branching: str = "pseudocost"   # "pseudocost" (reliability-style
     # scores learned from observed bound degradations, most-fractional
     # fallback while uninitialized), "most_frac" (round-1 behavior), or

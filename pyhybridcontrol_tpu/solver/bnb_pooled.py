@@ -34,7 +34,8 @@ opt into ``BnbSpec.pool_norm="relgap"``: nodes are ranked by
 certified relative-gap contribution), so low-scale instances stop
 monopolizing waves; instances without incumbents rank first.
 ``BnbSpec.probe_patience`` gates the dive-probe batches with the same
-leafish/periodic-retry semantics as the single-instance loop.
+pre-wave periodic-retry + leaf-deferral semantics as the
+single-instance loop (solver/bnb.py).
 
 SURVEY.md §2b solver/bnb + kernels/qp_admm: this is the component that
 routes the B&B hot loop through the speed-of-light kernel path.
