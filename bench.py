@@ -223,11 +223,21 @@ def main():
     _run_section(details, "primary_qp_xla_solves_per_s", _sec_xla_ab,
                  args.inject_error)
 
-    def have_budget(section, floor=60):
+    # cold-compile guard (generalizes the config-2b gate, ADVICE r2):
+    # with a cold persistent-compilation cache every section's first
+    # run spends minutes inside the axon remote-compile relay, and a
+    # kill mid-compile wedges the chip — so sections need a much larger
+    # leftover budget before they may START.
+    cache_warm = bool(os.path.isdir(_CACHE_DIR) and os.listdir(_CACHE_DIR))
+
+    def have_budget(section, floor=None):
+        floor = floor if floor is not None else (60 if cache_warm else 300)
         left = args.budget - (time.perf_counter() - t_start)
         if left < floor:
             details[section] = dict(skipped=f"budget exhausted "
-                                            f"({left:.0f}s left)")
+                                            f"({left:.0f}s left, floor "
+                                            f"{floor}s, cache_warm="
+                                            f"{cache_warm})")
             _write_details(details)
             return False
         return True
@@ -442,7 +452,6 @@ def main():
     # remote-compile relay can take minutes and killing it mid-compile
     # wedges the chip — so on a cold cache require a much larger
     # leftover budget than on a warm one.
-    cache_warm = bool(os.path.isdir(_CACHE_DIR) and os.listdir(_CACHE_DIR))
     floor2b = 120 if cache_warm else 420
     left2b = args.budget - (time.perf_counter() - t_start)
     if (left2b < floor2b
