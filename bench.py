@@ -292,8 +292,13 @@ def main():
             # reaches the IDENTICAL incumbent/bound/node count on this
             # instance while skipping ~3/4 of the stale-tail probe
             # batches (measured 24% wall reduction at 16 waves).
+            # probe_iters=600: CPU-deterministic sweep shows the same
+            # tree (953 nodes) and incumbent within 0.04% of the 1000-
+            # iter point (61.3515 vs 61.3279), while 300 collapses to
+            # the repair seed; qp_iters is a cliff (150 collapses —
+            # probe warm-start quality needs the relax converged).
             spec_pwa = BnbSpec(capacity=1024, wave_size=128, max_waves=16,
-                               qp_iters=200, probe_iters=1000, gap=1e-3,
+                               qp_iters=200, probe_iters=600, gap=1e-3,
                                probe_patience=3)
 
             @jax.jit
@@ -468,7 +473,7 @@ def main():
 
     def _sec_config2b():
         spec_gap = BnbSpec(capacity=2048, wave_size=128, max_waves=64,
-                           qp_iters=200, probe_iters=1000, gap=1e-3,
+                           qp_iters=200, probe_iters=600, gap=1e-3,
                            probe_patience=3, rel_gap=0.02)
         qpw, admw, admw_p = cfg2["qpw"], cfg2["admw"], cfg2["admw_p"]
         rspec = cfg2["rspec"]
