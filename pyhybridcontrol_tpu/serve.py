@@ -25,7 +25,14 @@ request concurrency into device throughput (config-4 economics:
 the pooled batch engine measures ~3.5x the per-instance form).
 
 Request:  {"x": [..nx..], "omega": [[..]] (N,nω) opt, "price": [[..]] opt,
-           "u_prev": [..] opt, "id": any opt (echoed back)}
+           "u_prev": [..] opt, "id": any opt (echoed back),
+           "deadline_ms": f opt (TCP mode: per-request deadline —
+           a request still QUEUED past its deadline is shed with
+           {"error": "deadline exceeded", "deadline_exceeded": true}
+           instead of burning device time on an answer the caller has
+           abandoned; a queued deadline also pulls the coalescing
+           window closed early so urgent requests don't wait out the
+           full hold)}
 Response: {"u": [..], "delta": [..], "obj": f, "found": b, "gap": f,
            "ms": f, "coalesced": B (TCP mode, when batched)}
 A 2-D "x" ([[..nx..] × B]) solves the whole batch as ONE device
@@ -180,7 +187,8 @@ class _TcpServer:
         self.stop = threading.Event()
         self.stats_lock = threading.Lock()
         self.stats = {"requests": 0, "errors": 0, "coalesced_batches": 0,
-                      "max_coalesce": 1, "connections": 0}
+                      "max_coalesce": 1, "connections": 0,
+                      "deadline_shed": 0}
         self.srv = socket.create_server((host, port))
         self.port = self.srv.getsockname()[1]
 
@@ -229,21 +237,40 @@ class _TcpServer:
                         self.stop.set()
                         self.q.put(None)   # wake the solver thread
                         return
-                    self.q.put((entry, req))
+                    self.q.put((entry, req, time.monotonic()))
         finally:
             try:
                 conn.close()
             except OSError:
                 pass
 
+    @staticmethod
+    def _req_deadline(item):
+        """Absolute per-request deadline (monotonic), or None."""
+        _, req, t_arr = item
+        dl = req.get("deadline_ms") if isinstance(req, dict) else None
+        if dl is None:
+            return None
+        try:
+            return t_arr + float(dl) / 1e3
+        except (TypeError, ValueError):
+            return None
+
     def _drain(self):
         """Collect the next coalescing batch: block for the first
-        request, then hold the window (or just drain) for followers."""
+        request, then hold the window (or just drain) for followers.
+        A queued request's ``deadline_ms`` PULLS the window close
+        earlier (the batch must leave time for its solve), so urgent
+        requests shrink the hold instead of waiting out the full
+        window."""
         item = self.q.get()
         if item is None:
             return []
         batch = [item]
         deadline = time.monotonic() + self.window
+        dl = self._req_deadline(item)
+        if dl is not None:
+            deadline = min(deadline, dl)
         while len(batch) < self.max_batch:
             remaining = deadline - time.monotonic()
             try:
@@ -254,6 +281,9 @@ class _TcpServer:
             if nxt is None:
                 break
             batch.append(nxt)
+            dl = self._req_deadline(nxt)
+            if dl is not None:
+                deadline = min(deadline, dl)
         return batch
 
     def _solver_loop(self):
@@ -261,10 +291,35 @@ class _TcpServer:
             batch = self._drain()
             if not batch:
                 continue
+            # shed expired requests before touching the device: with a
+            # backed-up queue, device time spent on an answer past its
+            # deadline is pure waste (the caller already moved on)
+            now = time.monotonic()
+            live = []
+            for entry, req, t_arr in batch:
+                dl = req.get("deadline_ms") if isinstance(req, dict) \
+                    else None
+                if dl is not None:
+                    try:
+                        expired = (now - t_arr) > float(dl) / 1e3
+                    except (TypeError, ValueError):
+                        expired = False
+                    if expired:
+                        with self.stats_lock:
+                            self.stats["deadline_shed"] += 1
+                        resp = {"error": "deadline exceeded",
+                                "deadline_exceeded": True,
+                                "queued_ms": round(1e3 * (now - t_arr),
+                                                   3)}
+                        if "id" in req:
+                            resp["id"] = req["id"]
+                        self._send(entry, resp)
+                        continue
+                live.append((entry, req))
             # group coalescible requests by signature
             groups: dict = {}
             singles = []
-            for entry, req in batch:
+            for entry, req in live:
                 try:
                     key = _coalesce_key(req)
                 except Exception as e:

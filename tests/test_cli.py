@@ -7,6 +7,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 import numpy as np
 import pytest
@@ -263,3 +264,49 @@ def test_bench_crash_isolation(tmp_path):
     d = json.load(open(tmp_path / "BENCH_DETAILS_cpu_smoke.json"))
     assert "injected test error" in d["config1_double_integrator"]["error"]
     assert d["primary_qp_solves_per_s"] > 0
+
+
+def test_serve_tcp_deadlines():
+    """Per-request deadlines (round 3): a request whose deadline has
+    already passed when the solver dequeues it is SHED with a
+    deadline_exceeded error instead of solved, and a queued deadline
+    pulls the coalescing window closed early (an urgent request must
+    not wait out a long hold window)."""
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "pyhybridcontrol_tpu.serve",
+         "--config", "double_integrator", "--solver", "enumerate",
+         "--cpu", "--tcp", "0", "--coalesce-window", "5000"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env=_env())
+    c = None
+    try:
+        ready = json.loads(proc.stdout.readline())
+        port = ready["tcp_port"]
+        c = _TcpClient(port)
+
+        # deadline_ms=0: always already expired at dequeue → shed
+        c.send({"x": [1.0, -0.5], "deadline_ms": 0, "id": "late"})
+        r = c.recv()
+        assert r.get("deadline_exceeded") and r["id"] == "late", r
+        assert "queued_ms" in r
+
+        # a generous deadline still solves — and the 5 s coalescing
+        # window must close early because of it (reply well before the
+        # window would have elapsed)
+        t0 = time.time()
+        c.send({"x": [1.0, -0.5], "deadline_ms": 2000, "id": "ok"})
+        r = c.recv()
+        dt = time.time() - t0
+        assert r["id"] == "ok" and r["found"], r
+        assert dt < 4.0, f"window did not close early ({dt:.1f}s)"
+
+        c.send({"cmd": "stats"})
+        st = c.recv()
+        assert st["deadline_shed"] == 1
+        c.send({"cmd": "shutdown"})
+    finally:
+        if c is not None:
+            c.close()
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
