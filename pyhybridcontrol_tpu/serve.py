@@ -31,8 +31,9 @@ Request:  {"x": [..nx..], "omega": [[..]] (N,nω) opt, "price": [[..]] opt,
            {"error": "deadline exceeded", "deadline_exceeded": true}
            instead of burning device time on an answer the caller has
            abandoned; a queued deadline also pulls the coalescing
-           window closed early so urgent requests don't wait out the
-           full hold)}
+           window closed early — to half the deadline budget, the
+           other half reserved for the solve — so urgent requests
+           don't wait out, or expire inside, the full hold)}
 Response: {"u": [..], "delta": [..], "obj": f, "found": b, "gap": f,
            "ms": f, "coalesced": B (TCP mode, when batched)}
 A 2-D "x" ([[..nx..] × B]) solves the whole batch as ONE device
@@ -245,14 +246,19 @@ class _TcpServer:
                 pass
 
     @staticmethod
-    def _req_deadline(item):
-        """Absolute per-request deadline (monotonic), or None."""
+    def _req_pull_close(item):
+        """Window pull-close time (monotonic) implied by a queued
+        request's deadline, or None. The hold may spend at most HALF
+        the request's deadline budget — the other half is reserved for
+        the solve itself. Holding until exactly the deadline (round-3
+        bug) guaranteed a solo urgent request was dequeued microseconds
+        past its deadline and shed."""
         _, req, t_arr = item
         dl = req.get("deadline_ms") if isinstance(req, dict) else None
         if dl is None:
             return None
         try:
-            return t_arr + float(dl) / 1e3
+            return t_arr + float(dl) / 2e3
         except (TypeError, ValueError):
             return None
 
@@ -260,15 +266,15 @@ class _TcpServer:
         """Collect the next coalescing batch: block for the first
         request, then hold the window (or just drain) for followers.
         A queued request's ``deadline_ms`` PULLS the window close
-        earlier (the batch must leave time for its solve), so urgent
-        requests shrink the hold instead of waiting out the full
-        window."""
+        earlier — to half its deadline budget, leaving the other half
+        for the solve — so urgent requests shrink the hold instead of
+        waiting out (or dying inside) the full window."""
         item = self.q.get()
         if item is None:
             return []
         batch = [item]
         deadline = time.monotonic() + self.window
-        dl = self._req_deadline(item)
+        dl = self._req_pull_close(item)
         if dl is not None:
             deadline = min(deadline, dl)
         while len(batch) < self.max_batch:
@@ -281,7 +287,7 @@ class _TcpServer:
             if nxt is None:
                 break
             batch.append(nxt)
-            dl = self._req_deadline(nxt)
+            dl = self._req_pull_close(nxt)
             if dl is not None:
                 deadline = min(deadline, dl)
         return batch
