@@ -210,6 +210,21 @@ class BnbSpec:
     # owning instance, so heterogeneous objective SCALES share waves by
     # relative remaining gap instead of the low-scale instances
     # monopolizing every selection. Ignored by the single-instance loop.
+    sb_iters: int = 0            # batched ROOT strong branching: 0 = off;
+    # k>0 → after the root relaxation, ALL 2·nb candidate children
+    # (each unfixed binary fixed to 0 and to 1) are solved as ONE
+    # batched QP of k iterations, warm-started from the root iterate —
+    # kernel-grain work a CPU solver cannot afford but a TPU wave
+    # absorbs (~2 waves of extra work at nb=60). The certified child
+    # bounds then (a) initialize the pseudo-cost tables with REAL
+    # observed degradations instead of the f·(1−f) bootstrap, (b) fix
+    # binaries whose one side is dual-certificate infeasible (child
+    # (j,v) infeasible ⇒ δ_j = 1−v in every feasible point), and
+    # (c) lift the root bound to max_j min(bound_j0, bound_j1) — valid
+    # because every integral point has δ_j ∈ {0,1}, so the better of
+    # the two child bounds over the worse branch is a bound on ALL of
+    # them. Only the dual infeasibility certificate may fix (a large
+    # residual at few iterations is just "unconverged").
     root_iters: int = 0          # extra-converged root relaxation: the
     # root is ONE solve whose bound gates the entire search — if it
     # does not reach feas_tol within qp_iters, every descendant
@@ -233,6 +248,8 @@ class BnbSpec:
             raise ValueError(f"unknown branching {self.branching!r}")
         if self.rel_gap < 0 or self.probe_patience < 0:
             raise ValueError("rel_gap and probe_patience must be >= 0")
+        if self.sb_iters < 0:
+            raise ValueError("sb_iters must be >= 0")
         if self.pool_norm not in ("none", "relgap"):
             raise ValueError(f"unknown pool_norm {self.pool_norm!r}")
 
@@ -412,6 +429,84 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
         return lb, ub
 
     fb, hb = backend.broadcast_data(f, h, W)
+
+    node_bound_root = getattr(backend, "node_bound", None)
+    if spec.sb_iters > 0 and node_bound_root is not None:
+        # -- batched root strong branching (BnbSpec.sb_iters) ------------
+        # All 2·nb candidate children as ONE kernel-grain batch: real
+        # pseudo-cost initialization, certificate-backed root fixing,
+        # and the max_j min(child bounds) root-bound lift. Everything
+        # below is certified (Falk bounds valid at any iterate; only
+        # the dual infeasibility certificate may fix), so the returned
+        # optimum is unchanged — search order and pruning improve.
+        warm0 = ((state.x_pool[0], state.z_pool[0], state.y_pool[0])
+                 if spec.warm_start and spec.root_iters > spec.qp_iters
+                 else None)
+        r_root = backend.solve(f, h, backend.lb, backend.ub,
+                               spec.qp_iters, warm=warm0)
+        rb = node_bound_root(r_root, f, h, backend.lb, backend.ub)
+        root_bound = jnp.where(jnp.isfinite(rb), rb, -BIG)
+        xb0 = jnp.clip(r_root.x[bidx], 0.0, 1.0)
+        # candidate matrix padded to the batch grain (extra rows re-solve
+        # candidate 0; sliced away): rows [0,nb) fix δ_j=0, [nb,2nb) =1
+        SB = 2 * nb
+        grain = 128 if jax.default_backend() == "tpu" else 8
+        SBW = max(-(-SB // grain) * grain, grain)
+        jrow = jnp.arange(SBW, dtype=jnp.int32) % nb
+        vrow = (jnp.arange(SBW, dtype=jnp.int32) >= nb) & \
+               (jnp.arange(SBW, dtype=jnp.int32) < SB)
+        fmc = jax.nn.one_hot(jrow, nb, dtype=bool)
+        fvc = jnp.where(fmc & vrow[:, None], 1.0, 0.0).astype(dtype)
+        lbc, ubc = node_bounds(fmc, fvc)
+        fc, hc = backend.broadcast_data(f, h, SBW)
+        warmc = (jnp.broadcast_to(r_root.x, (SBW,) + r_root.x.shape),
+                 jnp.broadcast_to(r_root.z, (SBW,) + r_root.z.shape),
+                 jnp.broadcast_to(r_root.y, (SBW,) + r_root.y.shape))
+        rcand = backend.solve(fc, hc, lbc, ubc, spec.sb_iters, warm=warmc)
+        certc = node_bound_root(rcand, fc, hc, lbc, ubc)
+        certc = jnp.where(jnp.isfinite(certc),
+                          jnp.maximum(certc, root_bound), root_bound)
+        infc = rcand.infeas_cert      # dual certificate ONLY (a large
+        # residual at sb_iters is just "unconverged", never a fixing)
+        certc = jnp.where(infc, BIG, certc)
+        cert0, cert1 = certc[:nb], certc[nb:SB]
+        inf0, inf1 = infc[:nb], infc[nb:SB]
+        # (a) pseudo-cost seeding with real per-unit degradations;
+        # infeasible children count as the largest finite gain observed
+        gain0 = jnp.maximum(jnp.where(inf0, 0.0, cert0) - root_bound, 0.0)
+        gain1 = jnp.maximum(jnp.where(inf1, 0.0, cert1) - root_bound, 0.0)
+        gmax = jnp.maximum(jnp.max(jnp.maximum(gain0, gain1)), 1.0)
+        gain0 = jnp.where(inf0, gmax, gain0)
+        gain1 = jnp.where(inf1, gmax, gain1)
+        pc_sum = (state.pc_sum
+                  .at[:nb, 0].add(gain0 / jnp.maximum(xb0, 1e-3))
+                  .at[:nb, 1].add(gain1 / jnp.maximum(1.0 - xb0, 1e-3)))
+        pc_cnt = state.pc_cnt.at[:nb, :].add(1.0)
+        # (b) root fixing: side v certified infeasible, or (with an
+        # incumbent seed) certified unable to beat it → fix to 1−v
+        lose0 = inf0 | (state.inc_found & (cert0 >= state.inc_obj - spec.gap))
+        lose1 = inf1 | (state.inc_found & (cert1 >= state.inc_obj - spec.gap))
+        fixj = lose0 | lose1
+        valj = jnp.where(lose0, 1.0, 0.0).astype(dtype)
+        # (c) root-bound lift: every integral point has δ_j ∈ {0,1}
+        lift = jnp.max(jnp.minimum(cert0, cert1))
+        lift = jnp.maximum(lift, root_bound)
+        state = dataclasses.replace(
+            state, pc_sum=pc_sum, pc_cnt=pc_cnt,
+            fix_mask=state.fix_mask.at[0].set(state.fix_mask[0] | fixj),
+            fix_val=state.fix_val.at[0].set(
+                jnp.where(fixj, valj, state.fix_val[0])),
+            bound=state.bound.at[0].set(
+                jnp.maximum(state.bound[0], lift)))
+        if spec.warm_start:
+            state = dataclasses.replace(
+                state,
+                x_pool=state.x_pool.at[0].set(
+                    r_root.x.astype(state.x_pool.dtype)),
+                z_pool=state.z_pool.at[0].set(
+                    r_root.z.astype(state.z_pool.dtype)),
+                y_pool=state.y_pool.at[0].set(
+                    r_root.y.astype(state.y_pool.dtype)))
 
     def cond(s: BnbState):
         live = s.alive & (s.wave < spec.max_waves)

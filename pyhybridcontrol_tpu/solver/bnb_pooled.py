@@ -26,6 +26,27 @@ pooling changes ONLY the schedule, not the search semantics. Pseudo-cost
 statistics are shared across instances (same matrices, same branching
 structure — cross-instance learning is a feature).
 
+**Packed pool layout (round 4).** Round-3 wave anatomy (docs/
+PERFORMANCE.md): at W=1024 the pure solve work is ≈0.75 ms but a real
+wave costs 1.6–2.0 ms — the difference is ~15 small pool-machinery ops
+(gathers/scatters/top_k) whose cost is DISPATCH, not bandwidth
+(in-loop, each costs 0.05–0.07 ms regardless of operand size; round-3
+also measured that shrinking pool rows 32B→8B bought +22%, i.e. the
+data-structure footprint is what matters). So the pool stores its
+per-node state PACKED, trading tiny elementwise pack/unpack (fused by
+XLA) for fewer gather/scatter kernels per wave:
+
+- ``meta``  (P, 8) f32: [bound, depth, branch_var, branch_dir,
+  branch_frac, inst, active, pad] — ONE gather + ONE parent scatter +
+  ONE child scatter where the unpacked layout needed 7 of each.
+- ``fixenc`` (P, nb) f32: −1 = unfixed, 0/1 = fixed value — halves the
+  fix_mask/fix_val traffic (mask = enc ≥ 0, val = max(enc, 0)).
+- ``warm`` (P, n+2·mt) f32: x ‖ z ‖ y concatenated — one array instead
+  of three.
+
+int32 ids (inst, branch_var, depth) live as f32 in ``meta``: exact up
+to 2^24, far beyond any pool/instance/binary count here.
+
 Selection note: global best-first ranks nodes by RAW bound value by
 default, which is exactly fair for homogeneous batches (the scenario/
 batched-feedback use case). Wildly heterogeneous objective scales can
@@ -54,6 +75,9 @@ from pyhybridcontrol_tpu.ops.condense import DeviceQP
 from pyhybridcontrol_tpu.solver.bnb import (
     BIG, BnbResult, BnbSpec, CondensedBackend)
 
+# meta column indices
+_BOUND, _DEPTH, _BVAR, _BDIR, _BFRAC, _INST, _ACTIVE, _PAD = range(8)
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
@@ -68,19 +92,10 @@ class KernelCondensedBackend(CondensedBackend):
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class PooledState:
-    # pool (P slots, global over instances)
-    inst: jnp.ndarray          # (P,) int32 owning instance
-    fix_mask: jnp.ndarray      # (P, nb) bool
-    fix_val: jnp.ndarray       # (P, nb)
-    x_pool: jnp.ndarray        # (P, n) warm primal
-    z_pool: jnp.ndarray        # (P, mt)
-    y_pool: jnp.ndarray        # (P, mt)
-    bound: jnp.ndarray         # (P,)
-    active: jnp.ndarray        # (P,) bool
-    depth: jnp.ndarray         # (P,) int32
-    branch_var: jnp.ndarray    # (P,) int32 (−1 root)
-    branch_dir: jnp.ndarray    # (P,) int32
-    branch_frac: jnp.ndarray   # (P,)
+    # packed pool (P slots, global over instances) — see module docstring
+    meta: jnp.ndarray          # (P, 8) f32 packed per-node metadata
+    fixenc: jnp.ndarray        # (P, nb) f32: −1 unfixed / 0 / 1 fixed
+    warm: jnp.ndarray          # (P, n+2mt) f32: x ‖ z ‖ y
     # shared pseudo-costs (nb, 2)
     pc_sum: jnp.ndarray
     pc_cnt: jnp.ndarray
@@ -117,29 +132,25 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
     if P < 2 * B:
         raise ValueError(f"pool_slots {P} < 2*B (roots + warm nodes)")
 
-    def node_bounds(fm, fv):
-        Wb = fm.shape[0]
+    def node_bounds(enc):
+        Wb = enc.shape[0]
+        fm = enc >= 0.0
         lb = jnp.broadcast_to(backend.lb, (Wb, backend.n))
         ub = jnp.broadcast_to(backend.ub, (Wb, backend.n))
-        lb = lb.at[:, bidx].set(jnp.where(fm, fv, 0.0))
-        ub = ub.at[:, bidx].set(jnp.where(fm, fv, 1.0))
+        lb = lb.at[:, bidx].set(jnp.maximum(enc, 0.0))
+        ub = ub.at[:, bidx].set(jnp.where(fm, jnp.maximum(enc, 0.0), 1.0))
         return lb, ub
 
     # ---- init: B roots in slots 0..B-1 -----------------------------------
+    meta0 = jnp.zeros((P, 8), dtype)
+    meta0 = meta0.at[:, _BOUND].set(-BIG)
+    meta0 = meta0.at[:, _BVAR].set(-1.0)
+    meta0 = meta0.at[:B, _INST].set(jnp.arange(B, dtype=dtype))
+    meta0 = meta0.at[:B, _ACTIVE].set(1.0)
     s = PooledState(
-        inst=jnp.zeros((P,), jnp.int32).at[:B].set(
-            jnp.arange(B, dtype=jnp.int32)),
-        fix_mask=jnp.zeros((P, nb), bool),
-        fix_val=jnp.zeros((P, nb), dtype),
-        x_pool=jnp.zeros((P, n), dtype),
-        z_pool=jnp.zeros((P, mt), dtype),
-        y_pool=jnp.zeros((P, mt), dtype),
-        bound=jnp.full((P,), -BIG, dtype),
-        active=jnp.zeros((P,), bool).at[:B].set(True),
-        depth=jnp.zeros((P,), jnp.int32),
-        branch_var=jnp.full((P,), -1, jnp.int32),
-        branch_dir=jnp.zeros((P,), jnp.int32),
-        branch_frac=jnp.zeros((P,), dtype),
+        meta=meta0,
+        fixenc=jnp.full((P, nb), -1.0, dtype),
+        warm=jnp.zeros((P, n + 2 * mt), dtype),
         pc_sum=jnp.zeros((nb, 2), dtype),
         pc_cnt=jnp.zeros((nb, 2), dtype),
         inc_obj=jnp.full((B,), BIG, dtype),
@@ -161,14 +172,11 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
             inc_x=jnp.where(ok0[:, None], x0V.astype(dtype), s.inc_x),
             inc_found=s.inc_found | ok0)
     if spec.root_iters > spec.qp_iters and spec.warm_start:
-        lb0, ub0 = node_bounds(s.fix_mask[:B], s.fix_val[:B])
+        lb0, ub0 = node_bounds(s.fixenc[:B])
         r0 = backend.solve(f, h, lb0, ub0,
                            spec.root_iters - spec.qp_iters)
-        s = dataclasses.replace(
-            s,
-            x_pool=s.x_pool.at[:B].set(r0.x.astype(dtype)),
-            z_pool=s.z_pool.at[:B].set(r0.z.astype(dtype)),
-            y_pool=s.y_pool.at[:B].set(r0.y.astype(dtype)))
+        w0 = jnp.concatenate([r0.x, r0.z, r0.y], axis=-1).astype(dtype)
+        s = dataclasses.replace(s, warm=s.warm.at[:B].set(w0))
     if init_node is not None:
         # carried-plan warm start per instance: fully-fixed candidate
         # assignments in slots B..2B-1 (bound −BIG → ride wave 1; their
@@ -176,15 +184,15 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
         # into incumbents — zero extra up-front QP solves).
         bv0, okn, xw = init_node
         sl = jnp.arange(B, 2 * B)
+        meta = s.meta.at[sl, _INST].set(jnp.arange(B, dtype=dtype))
+        meta = meta.at[sl, _ACTIVE].set(okn.astype(dtype))
         s = dataclasses.replace(
-            s,
-            inst=s.inst.at[sl].set(jnp.arange(B, dtype=jnp.int32)),
-            active=s.active.at[sl].set(okn),
-            fix_mask=s.fix_mask.at[sl].set(jnp.ones((B, nb), bool)),
-            fix_val=s.fix_val.at[sl].set(bv0.astype(dtype)))
+            s, meta=meta,
+            fixenc=s.fixenc.at[sl].set(
+                jnp.clip(bv0.astype(dtype), 0.0, 1.0)))
         if spec.warm_start and xw is not None:
             s = dataclasses.replace(
-                s, x_pool=s.x_pool.at[sl].set(xw.astype(dtype)))
+                s, warm=s.warm.at[sl, :n].set(xw.astype(dtype)))
 
     def cond(s: PooledState):
         live = s.alive & (s.wave < spec.max_waves)
@@ -196,32 +204,41 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
 
     def body(s: PooledState) -> PooledState:
         # -- 1. global best-first selection ------------------------------
+        pool_active = s.meta[:, _ACTIVE] > 0.0
+        pool_bound = s.meta[:, _BOUND]
+        pool_inst = s.meta[:, _INST].astype(jnp.int32)
         if spec.pool_norm == "relgap":
             # heterogeneous batches: rank by the node's RELATIVE room
             # below its own instance's incumbent, not the raw bound —
             # otherwise instances with systematically lower objective
             # scales monopolize every wave. Instances without an
             # incumbent yet rank first (−BIG: they need work most).
-            inc_i = s.inc_obj[s.inst]
-            norm = (s.bound - inc_i) / jnp.maximum(1.0, jnp.abs(inc_i))
-            pri_val = jnp.where(s.inc_found[s.inst], norm, -BIG)
+            inc_i = s.inc_obj[pool_inst]
+            norm = ((pool_bound - inc_i)
+                    / jnp.maximum(1.0, jnp.abs(inc_i)))
+            pri_val = jnp.where(s.inc_found[pool_inst], norm, -BIG)
         else:
-            pri_val = s.bound
-        pri = jnp.where(s.active, pri_val, BIG)
+            pri_val = pool_bound
+        pri = jnp.where(pool_active, pri_val, BIG)
         _, sel = jax.lax.top_k(-pri, W)
-        valid = s.active[sel]
-        ni = s.inst[sel]                      # (W,) owning instance
-        fm = s.fix_mask[sel]
-        fv = s.fix_val[sel]
-        parent_bound = s.bound[sel]
+        m_sel = s.meta[sel]                   # ONE gather for 7 fields
+        valid = m_sel[:, _ACTIVE] > 0.0
+        ni = m_sel[:, _INST].astype(jnp.int32)
+        parent_bound = m_sel[:, _BOUND]
+        enc = s.fixenc[sel]
+        fm = enc >= 0.0
+        fv = jnp.maximum(enc, 0.0)
 
         # -- 2. batched relaxations + gated fused probe (ONE (W, n)
         # kernel program per probing wave — see solver/bnb.py) ------------
         fb = f[ni]
         hb = h[ni]
-        lb, ub = node_bounds(fm, fv)
-        warm = ((s.x_pool[sel], s.z_pool[sel], s.y_pool[sel])
-                if spec.warm_start else None)
+        lb, ub = node_bounds(enc)
+        if spec.warm_start:
+            w_sel = s.warm[sel]               # ONE gather for x‖z‖y
+            warm = (w_sel[:, :n], w_sel[:, n:n + mt], w_sel[:, n + mt:])
+        else:
+            warm = None
         solve_wave = getattr(backend, "solve_wave", None)
         piters = spec.probe_iters or spec.qp_iters
         acc_tol = spec.inc_tol or spec.feas_tol
@@ -244,7 +261,7 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
                                       warm=warm)
                 xb = relax.x[:, bidx]
                 pv = jnp.where(fm, fv, jnp.round(jnp.clip(xb, 0.0, 1.0)))
-                lb_p, ub_p = node_bounds(jnp.ones_like(fm), pv)
+                lb_p, ub_p = node_bounds(pv)
                 probe = backend.solve_probe(
                     fb, hb, lb_p, ub_p, piters,
                     warm=(relax.x, relax.z, relax.y))
@@ -294,9 +311,9 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
         fully_fixed = jnp.all(fm, axis=1)
 
         # -- 2b. shared pseudo-cost observation --------------------------
-        bv = s.branch_var[sel]
-        bdir = s.branch_dir[sel]
-        bf = jnp.clip(s.branch_frac[sel], 0.0, 1.0)
+        bv = m_sel[:, _BVAR].astype(jnp.int32)
+        bdir = m_sel[:, _BDIR].astype(jnp.int32)
+        bf = jnp.clip(m_sel[:, _BFRAC], 0.0, 1.0)
         obs = valid & converged & (bv >= 0)
         gain = jnp.maximum(lower - parent_bound, 0.0)
         denom = jnp.where(bdir == 1, 1.0 - bf, bf)
@@ -382,76 +399,69 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
         has_branch = jnp.any(~fm2, axis=1)
         branch_hot = (jax.nn.one_hot(jstar, nb, dtype=bool)
                       & has_branch[:, None])
-        cfm = fm2 | branch_hot
-        cfv0 = jnp.where(branch_hot, 0.0, fv2)
-        cfv1 = jnp.where(branch_hot, 1.0, fv2)
-        cdepth = s.depth[sel] + 1
+        enc2 = jnp.where(fm2, fv2, -1.0)      # post-presolve encoding
+        cenc0 = jnp.where(branch_hot, 0.0, enc2)
+        cenc1 = jnp.where(branch_hot, 1.0, enc2)
+        cdepth = m_sel[:, _DEPTH] + 1.0
         cbf = jnp.take_along_axis(xbc, jstar[:, None], axis=1)[:, 0]
-        cbv = jnp.where(has_branch, jstar, -1).astype(jnp.int32)
+        cbv = jnp.where(has_branch, jstar, -1).astype(dtype)
 
-        # child-0 overwrites the parent slot (instance id unchanged)
-        active = s.active.at[sel].set(False)
-        fix_mask = s.fix_mask.at[sel].set(
-            jnp.where(expand[:, None], cfm, fm))
-        fix_val = s.fix_val.at[sel].set(
-            jnp.where(expand[:, None], cfv0, fv))
-        bound = s.bound.at[sel].set(child_bound)
-        depth = s.depth.at[sel].set(cdepth)
-        branch_var = s.branch_var.at[sel].set(
-            jnp.where(expand, cbv, s.branch_var[sel]))
-        branch_dir = s.branch_dir.at[sel].set(
-            jnp.where(expand, 0, s.branch_dir[sel]))
-        branch_frac = s.branch_frac.at[sel].set(
-            jnp.where(expand, cbf, s.branch_frac[sel]))
-        active = active.at[sel].set(expand)
+        # child-0 overwrites the parent slot (instance id unchanged):
+        # ONE packed meta scatter + fixenc + warm
+        m_child0 = jnp.stack([
+            child_bound, cdepth, cbv,
+            jnp.zeros((W,), dtype),                      # dir 0
+            cbf, m_sel[:, _INST], expand.astype(dtype),
+            jnp.zeros((W,), dtype)], axis=1)
+        m_parent = jnp.where(expand[:, None], m_child0,
+                             m_sel.at[:, _ACTIVE].set(0.0)
+                             .at[:, _BOUND].set(child_bound))
+        meta = s.meta.at[sel].set(m_parent)
+        fixenc = s.fixenc.at[sel].set(
+            jnp.where(expand[:, None], cenc0, enc))
         if spec.warm_start:
-            x_pool = s.x_pool.at[sel].set(relax.x)
-            z_pool = s.z_pool.at[sel].set(relax.z)
-            y_pool = s.y_pool.at[sel].set(relax.y)
+            w_new = jnp.concatenate([relax.x, relax.z, relax.y],
+                                    axis=-1).astype(dtype)
+            warm_arr = s.warm.at[sel].set(w_new)
         else:
-            x_pool, z_pool, y_pool = s.x_pool, s.z_pool, s.y_pool
+            warm_arr = s.warm
 
         # child-1 → globally free slots (best-bound children win)
-        free_score = jnp.where(active, -1.0, 1.0)
+        free_score = jnp.where(meta[:, _ACTIVE] > 0.0, -1.0, 1.0)
         fs_val, free_slots = jax.lax.top_k(free_score, W)
         slot_free = fs_val > 0.0
         c1live = expand & has_branch
         order = jnp.argsort(jnp.where(c1live, child_bound, BIG))
-        tgt_c = free_slots
-        src = order
-        write_ok = slot_free & c1live[src]
-        tgt_safe = jnp.where(write_ok, tgt_c, P)
-        inst_arr = s.inst.at[tgt_safe].set(ni[src], mode="drop")
-        fix_mask = fix_mask.at[tgt_safe].set(cfm[src], mode="drop")
-        fix_val = fix_val.at[tgt_safe].set(cfv1[src], mode="drop")
-        bound = bound.at[tgt_safe].set(child_bound[src], mode="drop")
-        depth = depth.at[tgt_safe].set(cdepth[src], mode="drop")
-        branch_var = branch_var.at[tgt_safe].set(cbv[src], mode="drop")
-        branch_dir = branch_dir.at[tgt_safe].set(1, mode="drop")
-        branch_frac = branch_frac.at[tgt_safe].set(cbf[src], mode="drop")
-        active = active.at[tgt_safe].set(True, mode="drop")
+        write_ok = slot_free & c1live[order]
+        tgt_safe = jnp.where(write_ok, free_slots, P)
+        m_child1 = jnp.stack([
+            child_bound, cdepth, cbv,
+            jnp.ones((W,), dtype),                       # dir 1
+            cbf, m_sel[:, _INST],
+            jnp.ones((W,), dtype),                       # active
+            jnp.zeros((W,), dtype)], axis=1)
+        meta = meta.at[tgt_safe].set(m_child1[order], mode="drop")
+        fixenc = fixenc.at[tgt_safe].set(cenc1[order], mode="drop")
         if spec.warm_start:
-            x_pool = x_pool.at[tgt_safe].set(relax.x[src], mode="drop")
-            z_pool = z_pool.at[tgt_safe].set(relax.z[src], mode="drop")
-            y_pool = y_pool.at[tgt_safe].set(relax.y[src], mode="drop")
-        drop_mask = c1live[src] & ~slot_free
+            warm_arr = warm_arr.at[tgt_safe].set(w_new[order],
+                                                 mode="drop")
+        drop_mask = c1live[order] & ~slot_free
         overflow = s.overflow | jnp.any(drop_mask)
         dropped_min = s.dropped_min.at[
-            jnp.where(drop_mask, ni[src], B)].min(
-            jnp.where(drop_mask, child_bound[src], BIG), mode="drop")
+            jnp.where(drop_mask, ni[order], B)].min(
+            jnp.where(drop_mask, child_bound[order], BIG), mode="drop")
 
-        alive = jnp.any(active)
+        new_active = meta[:, _ACTIVE] > 0.0
+        alive = jnp.any(new_active)
         best_open = jnp.minimum(
-            jnp.full((B,), BIG, dtype).at[inst_arr].min(
-                jnp.where(active, bound, BIG)),
+            jnp.full((B,), BIG, dtype).at[
+                meta[:, _INST].astype(jnp.int32)].min(
+                jnp.where(new_active, meta[:, _BOUND], BIG)),
             dropped_min)
 
         return PooledState(
-            inst=inst_arr, fix_mask=fix_mask, fix_val=fix_val,
-            x_pool=x_pool, z_pool=z_pool, y_pool=y_pool,
-            bound=bound, active=active, depth=depth,
-            branch_var=branch_var, branch_dir=branch_dir,
-            branch_frac=branch_frac, pc_sum=pc_sum, pc_cnt=pc_cnt,
+            meta=meta, fixenc=fixenc, warm=warm_arr,
+            pc_sum=pc_sum, pc_cnt=pc_cnt,
             inc_obj=inc_obj, inc_x=inc_x, inc_found=inc_found,
             wave=s.wave + 1,
             nodes_solved=(s.nodes_solved
@@ -460,9 +470,11 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
             best_open=best_open, dropped_min=dropped_min)
 
     s = jax.lax.while_loop(cond, body, s)
+    act = s.meta[:, _ACTIVE] > 0.0
     best_open = jnp.minimum(
-        jnp.full((B,), BIG, dtype).at[s.inst].min(
-            jnp.where(s.active, s.bound, BIG)),
+        jnp.full((B,), BIG, dtype).at[
+            s.meta[:, _INST].astype(jnp.int32)].min(
+            jnp.where(act, s.meta[:, _BOUND], BIG)),
         s.dropped_min)
     return BnbResult(x=s.inc_x, obj=s.inc_obj, found=s.inc_found,
                      waves=s.wave, nodes_solved=s.nodes_solved,

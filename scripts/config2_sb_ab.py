@@ -1,0 +1,121 @@
+"""A/B: batched root strong branching (BnbSpec.sb_iters) on the
+certified-gap operating points of configs 2 and 3 — does one
+kernel-grain batch of 2·nb candidate-child solves at the root buy a
+measurably smaller tree to the same certified gap? (VERDICT r3 item 3:
+the TPU-native tree-shrinker.)
+
+Run each arm in its OWN process (CLAUDE.md: two jitted variants in one
+process skew timings 10-20%):
+
+    python scripts/config2_sb_ab.py config2 0       # baseline
+    python scripts/config2_sb_ab.py config2 200     # sb_iters=200
+    python scripts/config2_sb_ab.py config3 0
+    python scripts/config2_sb_ab.py config3 200
+
+Prints one JSON line with waves/nodes/ms to the rel_gap stop plus the
+incumbent objective and certified gap, so arms can be compared for both
+tree size AND search parity (objectives must agree to ~1e-3 rel).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _repo not in sys.path:
+    sys.path.insert(0, _repo)
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "config2"
+    sb = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    if "--cpu" in sys.argv:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+    import jax.numpy as jnp
+
+    from pyhybridcontrol_tpu.ops.admm import prepare_admm_mpc
+    from pyhybridcontrol_tpu.ops.condense import CondensedMpc
+    from pyhybridcontrol_tpu.solver.bnb import BnbSpec, solve_miqp_bnb
+
+    if which == "config2":
+        from pyhybridcontrol_tpu.models.pwa_examples import (
+            pwa_spring_mld, pwa_weights)
+        from pyhybridcontrol_tpu.solver.repair import (
+            prepare_repair, root_repair_incumbent)
+
+        mpwa = pwa_spring_mld(on_off=True, formulation="hull")
+        cpw = CondensedMpc(mpwa, 20, pwa_weights())
+        qpw, admw = cpw.device_qp(), prepare_admm_mpc(cpw)
+        admw_p = prepare_admm_mpc(cpw, rho=10.0)
+        rspec = prepare_repair(mpwa, pwa_weights())
+        spec = BnbSpec(capacity=2048, wave_size=128, max_waves=64,
+                       qp_iters=200, probe_iters=600, gap=1e-3,
+                       probe_patience=3, rel_gap=0.02, sb_iters=sb)
+
+        @jax.jit
+        def run(x0):
+            f_, h_ = qpw.assemble(x0)
+            seed = root_repair_incumbent(admw, qpw, rspec, x0, f_, h_,
+                                         qp_iters=400)
+            return solve_miqp_bnb(admw, qpw, f_, h_, spec,
+                                  init_incumbent=seed, admm_probe=admw_p)
+
+        x0 = jnp.asarray([1.5, 0.0])
+    elif which == "config3":
+        from pyhybridcontrol_tpu.models.dewh import (
+            dewh_model, dewh_weights, min_up_down_rows, DewhParams)
+
+        p3 = DewhParams()
+        m3 = dewh_model(p3)
+        c3 = CondensedMpc(m3, 24, dewh_weights())
+        A_v, bex = min_up_down_rows(24, m3.info.nv, min_up=2)
+        c3 = c3.with_extra_constraints(A_v, bex)
+        c3 = c3.with_move_blocking([k // 2 for k in range(24)])
+        nc3 = m3.info.ncons
+        c3 = c3.with_soft_constraints(
+            [k * nc3 + r for k in range(24) for r in (0, 1)],
+            lin_pen=5.0, quad_pen=1.0)
+        qpw, admw = c3.device_qp(), prepare_admm_mpc(c3)
+        admw_p = prepare_admm_mpc(c3, rho=10.0)
+        spec = BnbSpec(capacity=512, wave_size=64, max_waves=32,
+                       qp_iters=200, gap=1e-3, rel_gap=0.02, sb_iters=sb)
+
+        @jax.jit
+        def run(x0):
+            f_, h_ = qpw.assemble(x0)
+            return solve_miqp_bnb(admw, qpw, f_, h_, spec,
+                                  admm_probe=admw_p)
+
+        x0 = jnp.asarray([55.0, 0.0])
+    else:
+        raise SystemExit(f"unknown instance {which!r}")
+
+    r = jax.block_until_ready(run(x0))        # compile + warm
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        r = jax.block_until_ready(run(x0))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    obj, bo = float(r.obj), float(r.best_open_bound)
+    print(json.dumps({
+        "instance": which, "sb_iters": sb,
+        "backend": jax.default_backend(),
+        "ms": round(1e3 * best, 2), "reps": reps,
+        "waves": int(r.waves), "nodes": int(r.nodes_solved),
+        "objective": round(obj, 5), "found": bool(r.found),
+        "certified_rel_gap": (round((obj - bo) / max(1.0, abs(obj)), 5)
+                              if np.isfinite(bo) and bo < obj else 0.0),
+    }))
+
+
+if __name__ == "__main__":
+    main()

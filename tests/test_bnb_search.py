@@ -257,3 +257,47 @@ def test_rel_gap_stop_fires_early_on_hull_pwa():
     assert 0.0 <= cert <= 0.05 + 1e-6
     # the incumbent itself is within the certified gap of the optimum
     assert go <= float(exact.obj) * (1 + 0.05) + 1e-6
+
+
+def test_strong_branching_preserves_optimum(prob):
+    """Root strong branching (BnbSpec.sb_iters, round 4): one batched
+    solve of all 2*nb candidate children seeds pseudo-costs, fixes
+    certificate-losing binaries and lifts the root bound -- none of
+    which may change the returned optimum."""
+    qp, admm, f, h = prob
+    base = solve_miqp_bnb(admm, qp, f, h, _base())
+    sb = solve_miqp_bnb(admm, qp, f, h, _base(sb_iters=200))
+    assert bool(sb.found)
+    np.testing.assert_allclose(float(sb.obj), float(base.obj),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_strong_branching_root_lift_is_valid(prob):
+    """The max_j min(child bounds) root lift must stay a LOWER bound:
+    with rel_gap off and the tree fully explored, best_open_bound on
+    exit is BIG (tree exhausted) and the incumbent equals the optimum;
+    with an immediate wave cap the lifted root bound must sit at or
+    under the optimum (a lift ABOVE it would falsely certify)."""
+    qp, admm, f, h = prob
+    exact = solve_miqp_bnb(admm, qp, f, h, _base())
+    one = solve_miqp_bnb(
+        admm, qp, f, h,
+        BnbSpec(capacity=128, wave_size=8, max_waves=1, qp_iters=400,
+                sb_iters=400))
+    bo = float(one.best_open_bound)
+    if bo < BIG * 0.99:
+        assert bo <= float(exact.obj) + 1e-4
+
+
+def test_strong_branching_with_incumbent_seed(prob):
+    """With an incumbent seed the reduced-cost arm of the root fixing
+    engages (child bound >= inc - gap -> fix the other side); the
+    optimum must survive because the seed IS the optimum here."""
+    qp, admm, f, h = prob
+    exact = solve_miqp_bnb(admm, qp, f, h, _base())
+    seed = (exact.obj, exact.x, exact.found)
+    sb = solve_miqp_bnb(admm, qp, f, h, _base(sb_iters=300),
+                        init_incumbent=seed)
+    assert bool(sb.found)
+    np.testing.assert_allclose(float(sb.obj), float(exact.obj),
+                               rtol=1e-5, atol=1e-4)
