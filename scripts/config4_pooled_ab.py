@@ -87,7 +87,7 @@ def main():
         jax.block_until_ready(r)
         best = min(best, time.perf_counter() - t0)
     nodes = int(np.sum(np.asarray(r.nodes_solved)))
-    out = dict(arm=arm, wave_size=W if arm == "pooled" else 16,
+    out = dict(arm=arm, wave_size=16 if arm == "vmapped" else W,
                batch=B, best_s=round(best, 4),
                miqp_per_s=round(B / best, 1),
                nodes=nodes, nodes_per_s=round(nodes / best, 1),
