@@ -113,7 +113,13 @@ class MpcController:
         device-sharded consensus-ADMM formulation
         (ops/consensus_tree.py) — per-scenario QPs + group-mean
         collectives, scaling to trees that exceed one chip's HBM; pass
-        ``scen_mesh=(mesh, axis_name)`` to span a device mesh."""
+        ``scen_mesh=(mesh, axis_name)`` to span a device mesh.
+
+        With ``solver='stagewise'`` the tree rides the O(N) block-
+        tridiagonal frame instead (ops/stagewise_tree.py — always the
+        consensus formulation; ``consensus`` is ignored): long-horizon
+        tree MPC, composing natively with soft rows, move blocking and
+        terminal sets."""
         g0 = np.asarray(tree.groups)[:, 0]
         if not np.all(g0 == g0[0]):
             raise ValueError(
@@ -135,20 +141,40 @@ class MpcController:
         if self.solver == "stagewise":
             # long-horizon path: O(N) block-tridiagonal frame. Δu/Qy
             # weights, soft stage constraints (prox form), move blocking
-            # (adjacent-stage equality rows + leader-only branching) and
-            # terminal sets (last-stage rows) all ride natively —
-            # ops/stagewise.py module docstring. Arbitrary horizon-
-            # coupled extra rows and scenario trees remain condensed-
+            # (adjacent-stage equality rows + leader-only branching),
+            # terminal sets (last-stage rows) and scenario TREES
+            # (consensus selector rows + group-mean prox —
+            # ops/stagewise_tree.py, round 4) all ride natively.
+            # Arbitrary horizon-coupled extra rows remain condensed-
             # frame-only (general A_v rows break tridiagonality).
-            if self._extra is not None or self._tree is not None:
+            if self._extra is not None:
                 raise ValueError(
                     "solver='stagewise' supports stage-local problems "
                     "(incl. Δu/Qy weights, soft stage rows, move "
-                    "blocking and terminal sets); use the condensed "
-                    "solvers for horizon-coupled extra rows and "
-                    "scenario trees")
+                    "blocking, terminal sets and scenario trees); use "
+                    "the condensed solvers for horizon-coupled extra "
+                    "rows")
             kw = dict(soft=self._soft, blocking=self._blocking,
                       terminal=self._terminal)
+            if self._tree is not None:
+                from pyhybridcontrol_tpu.ops.stagewise_tree import (
+                    prepare_stagewise_tree)
+
+                if self._tree.N != self.N:
+                    raise ValueError(
+                        f"tree N={self._tree.N} != horizon N={self.N}")
+                self._swt = prepare_stagewise_tree(
+                    self.model, self._tree, self.weights, rho=self.rho,
+                    **kw)
+                self._swt_probe = prepare_stagewise_tree(
+                    self.model, self._tree, self.weights,
+                    rho=self.rho * 10.0, **kw)
+                self._sw = None
+                self._sw_probe = None
+                self._cmpc = None
+                self._admm_probe = None
+                self._built_version = self._version
+                return self
             self._sw = prepare_stagewise(self.model, self.N, self.weights,
                                          rho=self.rho, **kw)
             # stiff-rho prep for dive probes (see solver/bnb.py)
@@ -276,6 +302,9 @@ class MpcController:
                     f"price_seq must have N={self.N} rows (per control "
                     f"step), got {np.shape(price_seq)}")
         if self.solver == "stagewise":
+            if self._tree is not None:
+                return self._feedback_tree_stagewise(x0, price_seq,
+                                                     u_prev)
             return self._feedback_stagewise(x0, omega_forecast, price_seq,
                                             u_prev)
         if self._tree is not None and self._tree_consensus:
@@ -498,6 +527,43 @@ class MpcController:
             z=v0[info.z_slice],
             v_seq=V.reshape(tqp.S * tqp.N, info.nv), obj=res.obj,
             found=res.found, nodes=res.nodes_solved)
+
+    def _feedback_tree_stagewise(self, x0, price_seq, u_prev=None):
+        """Scenario-tree MIQP over the stagewise O(N) frame
+        (ops/stagewise_tree.py): long-horizon tree MPC — per-scenario
+        block-tridiagonal relaxations + group-mean consensus prox,
+        optionally spanning ``scen_mesh``. The tree supplies its own
+        disturbance paths; ``price_seq`` is the single-scenario (N, nv)
+        sequence (UNWEIGHTED — probabilities live in the iteration)."""
+        from pyhybridcontrol_tpu.ops.stagewise_tree import (
+            assemble_stagewise_tree, solve_tree_miqp_stagewise)
+
+        swt = self._swt
+        Pq = (jnp.asarray(price_seq, jnp.float32)
+              if price_seq is not None else None)
+        up = (jnp.asarray(u_prev, jnp.float32)
+              if u_prev is not None else None)
+        q, l, u = assemble_stagewise_tree(swt, x0, price_seq=Pq,
+                                          u_prev=up)
+        res = solve_tree_miqp_stagewise(
+            swt, q, l, u, self.bnb_spec, swt_probe=self._swt_probe,
+            parallel_sweeps=self.sw_parallel,
+            scen_mesh=self._scen_mesh)
+        info = self.model.info
+        sw = swt.sw
+        xi = res.x.reshape(swt.S, sw.N, sw.b)
+        v_seq = xi[:, :, : sw.nv]
+        v0 = v_seq[0, 0]
+        bo = res.best_open_bound
+        gap = jnp.where(res.found & jnp.isfinite(bo) & (bo < res.obj),
+                        (res.obj - bo)
+                        / jnp.maximum(1.0, jnp.abs(res.obj)), 0.0)
+        return StructDict(
+            u=v0[info.u_slice], delta=v0[info.delta_slice],
+            z=v0[info.z_slice],
+            v_seq=v_seq.reshape(swt.S * sw.N, info.nv), obj=res.obj,
+            found=res.found, nodes=res.nodes_solved, gap=gap,
+            x_seq=xi[:, :, sw.nv:])
 
     def _feedback_stagewise(self, x0, omega_forecast, price_seq,
                             u_prev=None):

@@ -136,6 +136,15 @@ class StagewiseQP:
                                           metadata=dict(static=True))
     n_term: int = dataclasses.field(default=0,
                                     metadata=dict(static=True))
+    # consensus selector rows (scenario-tree non-anticipativity —
+    # ops/stagewise_tree.py): n_cons extra rows per stage, each the
+    # identity on ξ_k coordinate j (j < n_cons, i.e. the u/δ part of
+    # v_k), with vacuous ±BIG bounds. Stage-LOCAL, so block-
+    # tridiagonality is untouched; the tree solver overrides their
+    # z-update with the probability-weighted group mean over scenarios
+    # (the exact consensus prox — cf. ops/consensus_tree.py).
+    n_cons: int = dataclasses.field(default=0,
+                                    metadata=dict(static=True))
 
     @property
     def b(self) -> int:
@@ -147,7 +156,8 @@ class StagewiseQP:
 
     @property
     def m_k(self) -> int:
-        return self.nx + self.nc + self.b + self.n_blk + self.n_term
+        return (self.nx + self.nc + self.b + self.n_blk + self.n_term
+                + self.n_cons)
 
 
 def prepare_stagewise(model: MldModel, N: int,
@@ -156,7 +166,7 @@ def prepare_stagewise(model: MldModel, N: int,
                       sigma: float = 1e-6, alpha: float = 1.6,
                       reg: float = 1e-8, soft=None,
                       blocking=None, block_deltas: bool = False,
-                      terminal=None,
+                      terminal=None, consensus: int = 0,
                       dtype=jnp.float32) -> StagewiseQP:
     """Host fp64 build: stage blocks + block-tridiagonal LU of K.
 
@@ -167,7 +177,10 @@ def prepare_stagewise(model: MldModel, N: int,
     contiguous — the ``with_move_blocking`` convention): the input u is
     held constant within each group via adjacent-stage equality rows
     (module docstring). ``block_deltas=True`` ties δ as well.
-    ``terminal``: optional (E_N, f_N) terminal-set rows on x_N."""
+    ``terminal``: optional (E_N, f_N) terminal-set rows on x_N.
+    ``consensus``: number of leading v-coordinates per stage (the
+    shared-decision u/δ block) that get a consensus selector row — see
+    ``StagewiseQP.n_cons``; only ops/stagewise_tree.py sets this."""
     w = weights or MpcWeights()
     info = model.info
     if info.nxb > 0:
@@ -280,8 +293,12 @@ def prepare_stagewise(model: MldModel, N: int,
         ft = np.zeros((0,))
     n_term = len(ft)
 
+    n_cons = int(consensus)
+    if n_cons < 0 or n_cons > nv:
+        raise ValueError(f"consensus must be in [0, nv={nv}]")
+
     # soft stage-inequality rows → per-row prox penalties
-    m_k_rows = nx + nc + b + n_blk + n_term
+    m_k_rows = nx + nc + b + n_blk + n_term + n_cons
     soft_lin = np.zeros((N, m_k_rows))
     soft_quad = np.zeros((N, m_k_rows))
     if soft is not None:
@@ -313,6 +330,8 @@ def prepare_stagewise(model: MldModel, N: int,
     rho_rows[nx + nc:nx + nc + b] = box_rho
     if n_blk:                                   # blocking equalities
         rho_rows[nx + nc + b:nx + nc + b + n_blk] = rho * rho_eq_scale
+    if n_cons:                                  # consensus equalities
+        rho_rows[nx + nc + b + n_blk + n_term:] = rho * rho_eq_scale
     rho_full = np.tile(rho_rows, (N, 1))
 
     J = np.zeros((m_k, b))
@@ -325,7 +344,9 @@ def prepare_stagewise(model: MldModel, N: int,
         S_blk[j, cj] = 1.0
     J[nx + nc + b:nx + nc + b + n_blk] = S_blk
     if n_term:
-        J[nx + nc + b + n_blk:, nv:] = Et
+        J[nx + nc + b + n_blk:nx + nc + b + n_blk + n_term, nv:] = Et
+    if n_cons:                                  # consensus selectors
+        J[nx + nc + b + n_blk + n_term:, :n_cons] = np.eye(n_cons)
     M = np.zeros((m_k, b))
     M[:nx, nv:] = -m.A
     M[nx:nx + nc, nv:] = m.E
@@ -400,7 +421,8 @@ def prepare_stagewise(model: MldModel, N: int,
         N=N, nx=nx, nv=nv, nc=nc, sigma=float(sigma), alpha=float(alpha),
         binary_idx_v=tuple(int(i) for i in np.nonzero(vb_mask)[0]),
         has_soft=bool(soft_lin.any() or soft_quad.any()),
-        blk_cols=blk_cols, blk_groups=blk_groups, n_term=n_term)
+        blk_cols=blk_cols, blk_groups=blk_groups, n_term=n_term,
+        n_cons=n_cons)
 
 
 # ---------------------------------------------------------------------------
@@ -428,6 +450,8 @@ def _apply_A(sw: StagewiseQP, xi):
     if sw.n_term:
         parts.append(jnp.einsum("ij,...kj->...ki", sw.Et, xnext,
                                 precision="highest"))
+    if sw.n_cons:
+        parts.append(v[..., :, :sw.n_cons])      # consensus selectors
     return jnp.concatenate(parts, axis=-1)
 
 
@@ -458,9 +482,13 @@ def _apply_AT(sw: StagewiseQP, w):
         cols = jnp.asarray(sw.blk_cols)
         out_v = out_v.at[..., :, cols].add(wk - tie_next * wk_next)
     if sw.n_term:
-        wt = w[..., :, nx + nc + b + sw.n_blk:]
+        i1 = nx + nc + b + sw.n_blk
+        wt = w[..., :, i1:i1 + sw.n_term]
         out_x = out_x + jnp.einsum("ij,...ki->...kj", sw.Et, wt,
                                    precision="highest")
+    if sw.n_cons:
+        wc = w[..., :, nx + nc + b + sw.n_blk + sw.n_term:]
+        out_v = out_v.at[..., :, :sw.n_cons].add(wc)
     return jnp.concatenate([out_v, out_x], axis=-1) + wb
 
 
@@ -607,10 +635,19 @@ def stagewise_dual_bound(sw: StagewiseQP, q, l, u, res: AdmmResult):
     if sw.n_term:
         # terminal rows: one-sided; only the finite (last-stage) rows
         # may carry a dual
-        ut = u[..., :, bb + sw.n_blk:]
+        i1 = bb + sw.n_blk
+        ut = u[..., :, i1:i1 + sw.n_term]
         yt = jnp.where(ut < 0.9 * BIG,
-                       jnp.maximum(y[..., :, bb + sw.n_blk:], 0.0), 0.0)
-        y = y.at[..., :, bb + sw.n_blk:].set(yt)
+                       jnp.maximum(y[..., :, i1:i1 + sw.n_term], 0.0),
+                       0.0)
+        y = y.at[..., :, i1:i1 + sw.n_term].set(yt)
+    if sw.n_cons:
+        # consensus rows are not dualized here: zeroing their duals
+        # DROPS the non-anticipativity coupling, i.e. bounds the
+        # decoupled per-scenario relaxation — still a valid lower
+        # bound of the tree problem (ops/stagewise_tree.py weights the
+        # per-scenario bounds by p_s).
+        y = y.at[..., :, bb + sw.n_blk + sw.n_term:].set(0.0)
     if sw.has_soft:
         soft = (sw.soft_lin > 0) | (sw.soft_quad > 0)
         y = jnp.where(soft, 0.0, y)
@@ -736,6 +773,11 @@ def assemble_stagewise(sw: StagewiseQP, x0, W=None, price_seq=None,
         l_parts.append(jnp.full((N, sw.n_term), -BIG, q.dtype))
         u_term = jnp.full((N, sw.n_term), BIG, q.dtype)
         u_parts.append(u_term.at[N - 1].set(sw.ft))
+    if sw.n_cons:
+        # consensus rows never clip in the box sense — the tree
+        # solver's z-update replaces them with the group mean
+        l_parts.append(jnp.full((N, sw.n_cons), -BIG, q.dtype))
+        u_parts.append(jnp.full((N, sw.n_cons), BIG, q.dtype))
     l = jnp.concatenate(l_parts, axis=-1)
     u = jnp.concatenate(u_parts, axis=-1)
     return q, l, u
@@ -743,7 +785,8 @@ def assemble_stagewise(sw: StagewiseQP, x0, W=None, price_seq=None,
 
 def stagewise_admm_solve(sw: StagewiseQP, q, l, u, iters: int = 200,
                          lb_xi=None, ub_xi=None, warm=None,
-                         parallel_sweeps: bool = False) -> AdmmResult:
+                         parallel_sweeps: bool = False,
+                         consensus_z=None) -> AdmmResult:
     """Fixed-iteration ADMM in the stagewise frame. q (…,N,b), l/u
     (…,N,m_k) from ``assemble_stagewise``; optional per-node variable
     boxes lb_xi/ub_xi (…,N,b) override the box-row bounds (B&B);
@@ -751,7 +794,12 @@ def stagewise_admm_solve(sw: StagewiseQP, q, l, u, iters: int = 200,
     ``parallel_sweeps``: solve Kξ=t with the log-depth associative-scan
     sweeps (``_solve_K_assoc``) instead of the sequential scans — pick
     this for very long horizons or when the N axis is sharded over a
-    device mesh (horizon/sequence parallelism; SURVEY.md §5)."""
+    device mesh (horizon/sequence parallelism; SURVEY.md §5).
+    ``consensus_z``: optional callable replacing the z-update on the
+    trailing ``sw.n_cons`` consensus rows (the scenario group-mean prox
+    — ops/stagewise_tree.py); their residual then measures the
+    split-variable gap |Ax − z| (the non-anticipativity residual) and
+    their dy is masked out of the infeasibility certificate."""
     if lb_xi is not None:
         nbox = sw.nx + sw.nc
         l = l.at[..., :, nbox:nbox + sw.b].set(lb_xi)
@@ -769,16 +817,22 @@ def stagewise_admm_solve(sw: StagewiseQP, q, l, u, iters: int = 200,
         x, z, y = warm
         z = jnp.clip(z, l, u)
 
+    mc = sw.m_k - sw.n_cons                           # consensus rows
+
     def z_update(s):
         """Box projection on hard rows; exact penalty prox on soft rows
-        (upper-side: min lin·t + quad·t² + ρ/2(z−s)², t = (z−u)₊)."""
+        (upper-side: min lin·t + quad·t² + ρ/2(z−s)², t = (z−u)₊);
+        group-mean consensus prox on the trailing n_cons rows."""
         z_hard = jnp.clip(s, l, u)
-        if not any_soft:
-            return z_hard
-        t = (rho * (s - u) - sw.soft_lin) / (rho + 2.0 * sw.soft_quad)
-        z_soft = jnp.where(s > u, u + jnp.maximum(t, 0.0),
-                           jnp.maximum(s, l))
-        return jnp.where(soft, z_soft, z_hard)
+        if any_soft:
+            t = (rho * (s - u) - sw.soft_lin) / (rho + 2.0 * sw.soft_quad)
+            z_soft = jnp.where(s > u, u + jnp.maximum(t, 0.0),
+                               jnp.maximum(s, l))
+            z_hard = jnp.where(soft, z_soft, z_hard)
+        if consensus_z is not None and sw.n_cons:
+            z_hard = z_hard.at[..., :, mc:].set(
+                consensus_z(s[..., :, mc:]))
+        return z_hard
 
     solve_K = _solve_K_assoc if parallel_sweeps else _solve_K
 
@@ -802,6 +856,9 @@ def stagewise_admm_solve(sw: StagewiseQP, q, l, u, iters: int = 200,
     viol = jnp.abs(Ax - jnp.clip(Ax, l, u))
     if any_soft:
         viol = jnp.where(soft, jnp.abs(Ax - z), viol)
+    if consensus_z is not None and sw.n_cons:
+        # consensus rows: non-anticipativity residual (z = group mean)
+        viol = viol.at[..., :, mc:].set(jnp.abs(Ax - z)[..., :, mc:])
     r_prim = jnp.max(viol, axis=(-2, -1))
     r_rel = jnp.max(viol / jnp.maximum(1.0, jnp.abs(Ax)), axis=(-2, -1))
     Px = _apply_P(sw, x)
@@ -816,9 +873,13 @@ def stagewise_admm_solve(sw: StagewiseQP, q, l, u, iters: int = 200,
                             axis=(-2, -1))
     # primal-infeasibility certificate (see ops/admm.py). Soft rows can
     # never witness infeasibility (their violation is purchasable), so
-    # their dual-change contribution is masked out of the certificate.
+    # their dual-change contribution is masked out of the certificate;
+    # consensus rows likewise (cross-scenario consensus infeasibility
+    # is not certified — same policy as ops/consensus_tree.py).
     if any_soft:
         dy = jnp.where(soft, 0.0, dy)
+    if sw.n_cons:
+        dy = dy.at[..., :, mc:].set(0.0)
     dy_norm = jnp.max(jnp.abs(dy), axis=(-2, -1))
     Atdy = jnp.max(jnp.abs(_apply_AT(sw, dy)), axis=(-2, -1))
     fin_u = u < 0.9 * BIG

@@ -1,0 +1,324 @@
+"""Long-horizon scenario-tree MIQP: consensus ADMM over the stagewise
+O(N) frame (VERDICT r3 item 6; SURVEY.md §5 long-context row × §2a
+scenario-tree capability).
+
+The two existing tree paths each have a hard limit: the dense joint
+build (ops/scenario_tree.py) is O((S·N·nv)²) memory, and the condensed
+consensus split (ops/consensus_tree.py) still carries a dense per-
+scenario KKT inverse — both price the horizon quadratically. This
+module composes the consensus splitting with the stagewise
+block-tridiagonal backend (ops/stagewise.py), so a scenario-tree MPC
+with N in the hundreds is O(S·N·b²) memory and per-iteration FLOPs:
+
+  - each scenario s runs the UNWEIGHTED stagewise ADMM on its own ω_s
+    path (probability weighting rides the scaled-dual change of
+    variables of ops/consensus_tree.py: ρ_s = p_s·ρ makes K_s = p_s·K
+    with K shared, so in scaled duals every scenario runs the standard
+    iteration and only the consensus prox sees p);
+  - non-anticipativity is ``n_cons = nu+nδ`` consensus selector ROWS
+    per stage (StagewiseQP.n_cons) — stage-local, so the block-
+    tridiagonal K and its O(N) LU sweeps are untouched — whose
+    z-update is the p-weighted group mean over the scenarios sharing
+    the stage-k information set (the exact consensus prox, Boyd §7);
+  - B&B branches on information-set REPRESENTATIVE coordinates; the
+    backend expands their bounds to all member scenarios (one gather
+    via ``rep_map``), so one branching decision fixes a whole set —
+    same search semantics as ops/consensus_tree.py.
+
+Unlike the condensed tree paths, stage-local extras compose natively:
+soft rows (prox form), move blocking (leader-only branching) and
+terminal sets all ride the same per-stage row families.
+
+Certified node bounds: zeroing the consensus duals DROPS the coupling,
+so the p-weighted sum of per-scenario Falk bounds
+(ops/stagewise.stagewise_dual_bound) is a valid lower bound of the
+tree node — a certificate the condensed TreeBackend does not have.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyhybridcontrol_tpu.mld.model import MldModel
+from pyhybridcontrol_tpu.ops.admm import AdmmResult
+from pyhybridcontrol_tpu.ops.scenario_tree import ScenarioTree
+from pyhybridcontrol_tpu.ops.stagewise import (
+    StagewiseQP, assemble_stagewise, prepare_stagewise,
+    stagewise_admm_solve, stagewise_dual_bound)
+from pyhybridcontrol_tpu.solver.bnb import BnbResult, BnbSpec, _bnb_loop
+
+BIG = 1e30
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class StagewiseTreeQP:
+    """Prepared stagewise consensus-tree problem (pytree)."""
+
+    sw: StagewiseQP          # single-scenario stagewise prep, n_cons>0
+    M: jnp.ndarray           # (S, S, N) p-weighted group-mean tensor
+    probs: jnp.ndarray       # (S,)
+    omega: jnp.ndarray       # (S, N, nω) tree disturbance paths
+    S: int = dataclasses.field(metadata=dict(static=True))
+    # B&B maps (static: compiled shapes/gathers)
+    binary_reps: tuple = dataclasses.field(metadata=dict(static=True))
+    rep_map: tuple = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def N(self) -> int:
+        return self.sw.N
+
+    @property
+    def n(self) -> int:
+        """Flat joint decision size S·N·b."""
+        return self.S * self.sw.N * self.sw.b
+
+
+def prepare_stagewise_tree(model: MldModel, tree: ScenarioTree,
+                           weights=None, rho: float = 1.0,
+                           soft=None, blocking=None,
+                           block_deltas: bool = False, terminal=None,
+                           **kw) -> StagewiseTreeQP:
+    """Host build. ``tree.N`` sets the horizon; stage-local extras
+    (soft/blocking/terminal) compose — see module docstring."""
+    info = model.info
+    N = tree.N
+    nud = info.nu + info.ndelta
+    sw = prepare_stagewise(model, N, weights, rho=rho, soft=soft,
+                           blocking=blocking, block_deltas=block_deltas,
+                           terminal=terminal, consensus=nud, **kw)
+    S = tree.S
+    p = np.asarray(tree.probs, np.float64)
+    g = np.asarray(tree.groups)                      # (S, N)
+    M = np.zeros((S, S, N))
+    for k in range(N):
+        same = g[:, k][:, None] == g[:, k][None, :]
+        wgt = same * p[None, :]
+        M[:, :, k] = wgt / wgt.sum(axis=1, keepdims=True)
+
+    # branching coordinates in the flat (S·N·b) joint space. Start from
+    # the single-scenario branch set (blocking-aware: leaders only —
+    # solver/bnb_stagewise.py StagewiseBackend.binary_idx logic), then
+    # deduplicate across scenarios by information set.
+    b = sw.b
+    blocked = set(sw.blk_cols) if sw.blk_cols else set()
+    per_scen = []
+    for k in range(N):
+        leader = (not sw.blk_groups or k == 0
+                  or sw.blk_groups[k] != sw.blk_groups[k - 1])
+        for j in sw.binary_idx_v:
+            if int(j) in blocked and not leader:
+                continue
+            per_scen.append((k, int(j)))
+    rep_map = np.arange(S * N * b)
+    reps = []
+    seen = {}
+    for (k, j) in per_scen:
+        for s in range(S):
+            c = s * N * b + k * b + j
+            if j >= nud:                             # uncoupled binary
+                reps.append(c)
+                continue
+            key = (int(g[s, k]), k, j)
+            if key not in seen:
+                seen[key] = c
+                reps.append(c)
+            rep_map[c] = seen[key]
+    return StagewiseTreeQP(
+        sw=sw, M=jnp.asarray(M, jnp.float32),
+        probs=jnp.asarray(p, jnp.float32),
+        omega=jnp.asarray(tree.omega_paths, jnp.float32),
+        S=S,
+        binary_reps=tuple(int(r) for r in sorted(reps)),
+        rep_map=tuple(int(r) for r in rep_map))
+
+
+def assemble_stagewise_tree(swt: StagewiseTreeQP, x0, price_seq=None,
+                            u_prev=None):
+    """Per-scenario stagewise data: q (S,N,b), l/u (S,N,m_k) — scenario
+    s sees its own tree path ω_s; price_seq is UNWEIGHTED (the
+    probabilities live in the consensus prox and the objective sum)."""
+
+    def one(W):
+        return assemble_stagewise(swt.sw, x0, W, price_seq, u_prev)
+
+    return jax.vmap(one)(swt.omega)
+
+
+def _group_mean(swt: StagewiseTreeQP, scen_mesh=None):
+    """Consensus prox closure for ``stagewise_admm_solve``: p-weighted
+    group mean over the scenario axis (dim −3 of the (…,S,N,n_cons)
+    consensus block)."""
+    if scen_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        mesh_, ax_ = scen_mesh
+
+        def pin(a):
+            spec_ = PartitionSpec(
+                *([None] * (a.ndim - 3) + [ax_, None, None]))
+            return jax.lax.with_sharding_constraint(
+                a, NamedSharding(mesh_, spec_))
+    else:
+        def pin(a):
+            return a
+
+    def consensus_z(s_cons):
+        return pin(jnp.einsum("stk,...tkj->...skj", swt.M, s_cons,
+                              precision="highest"))
+
+    return consensus_z
+
+
+def stagewise_tree_admm_solve(swt: StagewiseTreeQP, q, l, u,
+                              iters: int = 200, lb_xi=None, ub_xi=None,
+                              warm=None, parallel_sweeps: bool = False,
+                              scen_mesh=None) -> AdmmResult:
+    """Consensus ADMM over (…, S, N, •) stagewise data. Returns a
+    per-PROBLEM AdmmResult: x keeps the scenario axis (…, S, N, b),
+    obj = Σ_s p_s J_s, residuals are maxima over scenarios (consensus
+    rows measure the non-anticipativity gap), infeasibility is
+    certified if ANY scenario alone is (cross-scenario consensus
+    infeasibility is never certified — same policy as
+    ops/consensus_tree.py)."""
+    res = stagewise_admm_solve(
+        swt.sw, q, l, u, iters=iters, lb_xi=lb_xi, ub_xi=ub_xi,
+        warm=warm, parallel_sweeps=parallel_sweeps,
+        consensus_z=_group_mean(swt, scen_mesh))
+    return dataclasses.replace(
+        res,
+        obj=jnp.sum(swt.probs * res.obj, axis=-1),
+        r_prim=jnp.max(res.r_prim, axis=-1),
+        r_prim_rel=jnp.max(res.r_prim_rel, axis=-1),
+        r_dual=jnp.max(res.r_dual, axis=-1),
+        infeas_cert=jnp.any(res.infeas_cert, axis=-1))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class StagewiseTreeBackend:
+    """B&B backend over the flat (S·N·b) joint decision — branches on
+    information-set representatives, expands bounds to members via
+    ``rep_map`` (one gather), exactly like consensus_tree.TreeBackend
+    but with O(N) node relaxations and a certified node bound."""
+
+    swt: StagewiseTreeQP
+    swt_probe: object = dataclasses.field(default=None)
+    parallel_sweeps: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
+    scen_mesh: object = dataclasses.field(
+        default=None, metadata=dict(static=True))
+
+    @property
+    def n(self):
+        return self.swt.n
+
+    @property
+    def lb(self):
+        sw = self.swt.sw
+        return jnp.tile(sw.lb_xi.reshape(-1), (self.swt.S,))
+
+    @property
+    def ub(self):
+        sw = self.swt.sw
+        return jnp.tile(sw.ub_xi.reshape(-1), (self.swt.S,))
+
+    @property
+    def binary_idx(self):
+        return self.swt.binary_reps
+
+    @property
+    def warm_size(self):
+        sw = self.swt.sw
+        return self.swt.S * sw.N * sw.m_k
+
+    def _shapes(self, f, h, lb, ub, warm):
+        swt, sw = self.swt, self.swt.sw
+        S, N, b_ = swt.S, sw.N, sw.b
+        rep = jnp.asarray(np.asarray(swt.rep_map, np.int32))
+        batch = f.shape[:-1]
+        lb = jnp.take(lb, rep, axis=-1).reshape(batch + (S, N, b_))
+        ub = jnp.take(ub, rep, axis=-1).reshape(batch + (S, N, b_))
+        q = f.reshape(batch + (S, N, b_))
+        l = h[..., 0, :, :, :]
+        u = h[..., 1, :, :, :]
+        if warm is not None:
+            warm = tuple(w.reshape(batch + (S, N, -1)) for w in warm)
+        return q, l, u, lb, ub, warm, batch
+
+    def solve(self, f, h, lb, ub, iters, warm=None):
+        q, l, u, lb_xi, ub_xi, warm, batch = self._shapes(
+            f, h, lb, ub, warm)
+        res = stagewise_tree_admm_solve(
+            self.swt, q, l, u, iters=iters, lb_xi=lb_xi, ub_xi=ub_xi,
+            warm=warm, parallel_sweeps=self.parallel_sweeps,
+            scen_mesh=self.scen_mesh)
+        return dataclasses.replace(
+            res,
+            x=res.x.reshape(batch + (self.n,)),
+            z=res.z.reshape(batch + (self.warm_size,)),
+            y=res.y.reshape(batch + (self.warm_size,)))
+
+    def solve_probe(self, f, h, lb, ub, iters, warm=None):
+        if self.swt_probe is None:
+            return self.solve(f, h, lb, ub, iters, warm=warm)
+        return StagewiseTreeBackend(
+            self.swt_probe, parallel_sweeps=self.parallel_sweeps,
+            scen_mesh=self.scen_mesh).solve(f, h, lb, ub, iters,
+                                            warm=warm)
+
+    def node_bound(self, res, f, h, lb, ub):
+        """p-weighted sum of per-scenario Falk bounds — valid because
+        dropping the consensus coupling (whose duals the stagewise
+        bound zeroes) is a relaxation of the tree node."""
+        swt, sw = self.swt, self.swt.sw
+        q, l, u, lb_xi, ub_xi, _, batch = self._shapes(
+            f, h, lb, ub, None)
+        nbox = sw.nx + sw.nc
+        l = l.at[..., :, nbox:nbox + sw.b].set(lb_xi)
+        u = u.at[..., :, nbox:nbox + sw.b].set(ub_xi)
+        res = dataclasses.replace(
+            res,
+            x=res.x.reshape(batch + (swt.S, sw.N, sw.b)),
+            y=res.y.reshape(batch + (swt.S, sw.N, sw.m_k)),
+            z=res.z.reshape(batch + (swt.S, sw.N, sw.m_k)))
+        bnd = stagewise_dual_bound(sw, q, l, u, res)   # (…, S)
+        return jnp.sum(swt.probs * bnd, axis=-1)
+
+    def broadcast_data(self, f, h, W):
+        return (jnp.broadcast_to(f, (W,) + f.shape),
+                jnp.broadcast_to(h, (W,) + h.shape))
+
+
+def pack_stagewise_tree_data(q, l, u):
+    """(q, l, u) from ``assemble_stagewise_tree`` → flat (f, h)."""
+    return q.reshape(-1), jnp.stack([l, u], axis=0)
+
+
+@partial(jax.jit,
+         static_argnames=("spec", "parallel_sweeps", "scen_mesh"))
+def solve_tree_miqp_stagewise(swt: StagewiseTreeQP, q, l, u,
+                              spec: BnbSpec = BnbSpec(),
+                              init_incumbent=None, swt_probe=None,
+                              parallel_sweeps: bool = False,
+                              scen_mesh=None) -> BnbResult:
+    """B&B over the stagewise consensus-tree MIQP. (q, l, u) from
+    ``assemble_stagewise_tree``. Returns BnbResult with ``x`` the flat
+    (S·N·b) joint plan (reshape to (S, N, b); v_k = ξ_k[:nv]).
+    ``swt_probe``: stiff-ρ prep for dive probes (fully-fixed consensus
+    leaves are the implied-equality case — solver/bnb.py).
+    ``scen_mesh``: optional (Mesh, axis_name) sharding the scenario
+    axis of node batches; ``parallel_sweeps``: log-depth K sweeps for
+    very long horizons (ops/stagewise._solve_K_assoc)."""
+    f, h = pack_stagewise_tree_data(q, l, u)
+    return _bnb_loop(
+        StagewiseTreeBackend(swt, swt_probe,
+                             parallel_sweeps=parallel_sweeps,
+                             scen_mesh=scen_mesh),
+        f, h, spec, init_incumbent=init_incumbent)
