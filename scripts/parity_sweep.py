@@ -181,6 +181,46 @@ def main():
         model=omega_di, w=default_weights(), N=4, x0=x0_di,
         instances=4, solve=_tree_solves(consensus=True))
 
+    def _tree_stagewise(x0, _pq):
+        """Scenario tree over the stagewise O(N) frame
+        (ops/stagewise_tree.py, round 4) vs the fp64 oracle on the
+        dense joint problem. The stagewise frame drops per-scenario
+        data constants the condensed frame keeps, so the device plan
+        is re-costed in the joint frame before comparison."""
+        from pyhybridcontrol_tpu.ops.stagewise_tree import (
+            assemble_stagewise_tree, prepare_stagewise_tree,
+            solve_tree_miqp_stagewise)
+
+        tree = _tree_instance()
+        c1 = CondensedMpc(omega_di, 4, default_weights())
+        joint = build_scenario_tree_qp(c1, tree)
+        W = np.asarray(tree.omega_paths, np.float32).reshape(8, 1)
+        swt = prepare_stagewise_tree(omega_di, tree, default_weights())
+        swt_p = prepare_stagewise_tree(omega_di, tree,
+                                       default_weights(), rho=10.0)
+        q, l, u = assemble_stagewise_tree(swt, jnp.asarray(x0))
+        tspec = BnbSpec(capacity=512, wave_size=32, qp_iters=600,
+                        probe_iters=3000, max_waves=48)
+        r = solve_tree_miqp_stagewise(swt, q, l, u, tspec,
+                                      swt_probe=swt_p)
+        fo, ho = joint.assemble_np(x0, np.asarray(W, np.float64))
+        orc = solve_miqp_enumeration_oracle(
+            joint.H, fo, joint.G, ho, joint.lb, joint.ub,
+            joint.binary_idx)
+        S, b, nv = tree.S, swt.sw.b, swt.sw.nv
+        V = (np.asarray(r.x).reshape(S, 4, b)[:, :, :nv]
+             .reshape(-1).astype(np.float64))
+
+        class _R:
+            obj = float(0.5 * V @ joint.H @ V + fo @ V)
+            found = bool(r.found)
+            nodes_solved = int(r.nodes_solved)
+        return _R, orc
+
+    families["di_tree_stagewise_S2"] = dict(
+        model=omega_di, w=default_weights(), N=4, x0=x0_di,
+        instances=4, solve=_tree_stagewise)
+
     def _pooled_batch(n_inst):
         """Pooled multi-instance driver (solver/bnb_pooled.py): one
         global node pool over the batch — per-instance incumbents must
