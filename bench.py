@@ -61,19 +61,37 @@ def _timeit(fn, *args, reps=5):
     counts swung 0.34 s → 0.99 s between runs), and a mean lets one
     slow phase triple a section's number. Per-rep fetch overhead is
     ~ms — negligible against the 100 ms–10 s sections this times. The
-    chained input perturbation still prevents program dedup/overlap."""
+    chained input perturbation still prevents program dedup/overlap.
+
+    Variance accounting (VERDICT r3 item 5): the per-rep times are kept
+    in ``_timeit.last`` so sections can record a band next to the
+    headline number (``_band()``) — two honest runs must be comparable
+    WITHIN their printed bands, not by exact match."""
     out = fn(*args)
     _fetch(out)                      # compile + warm
     a0 = args[0]
     best = None
+    times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         out = fn(a0, *args[1:])
         _fetch(out)
         dt = time.perf_counter() - t0
+        times.append(dt)
         best = dt if best is None else min(best, dt)
         a0 = _chain(args[0], out)
+    _timeit.last = dict(
+        reps=reps,
+        spread_pct=round(100.0 * (max(times) - min(times)) / min(times),
+                         1))
     return best, out
+
+
+def _band():
+    """Band fields from the latest ``_timeit`` — splice into a
+    section's detail dict right after its timing call."""
+    last = getattr(_timeit, "last", None)
+    return {} if last is None else dict(last)
 
 
 def _timeit_marginal(fn, x, lo=8, hi=16):
@@ -259,7 +277,7 @@ def main():
             lambda x0: closed_loop(model, step10, x0, T))
         dt, res = _timeit(runner, jnp.asarray([2.0, 0.0]), reps=3)
         details["config1_double_integrator"] = dict(
-            N=10, T=T, ms_per_control_step=round(1e3 * dt / T, 3),
+            **_band(), N=10, T=T, ms_per_control_step=round(1e3 * dt / T, 3),
             found_frac=float(np.mean(np.asarray(res.found))),
             mean_nodes=float(np.mean(np.asarray(res.nodes))))
 
@@ -313,7 +331,7 @@ def main():
             obj2 = float(r.obj)
             bo2 = float(r.best_open_bound)
             details["config2_pwa_actuator"] = dict(
-                N=20, n_binary=qpw.n_binary, formulation="hull",
+                **_band(), N=20, n_binary=qpw.n_binary, formulation="hull",
                 wave_path=("pallas" if jax.default_backend() == "tpu"
                            else "xla"),
                 ms_per_solve=round(1e3 * dt, 2),
@@ -363,7 +381,7 @@ def main():
                 price_traj=jnp.asarray(prices)))
             dt, res3 = _timeit(run3, jnp.asarray([55.0, 0.0]), reps=3)
             details["config3_thermal_uc"] = dict(
-                N=24, T=T3, n_binary=qp3.n_binary,
+                **_band(), N=24, T=T3, n_binary=qp3.n_binary,
                 ms_per_control_step=round(1e3 * dt / T3, 2),
                 found_frac=float(np.mean(np.asarray(res3.found))))
 
@@ -396,10 +414,10 @@ def main():
                 return solve_miqp_bnb_pooled(admm10, qp10, f_, h_, spec4,
                                              pool_slots=8 * B4,
                                              admm_probe=probe4)
-            dt, r4 = _timeit(solve4, f4, h4, reps=3)
+            dt, r4 = _timeit(solve4, f4, h4, reps=5)
             nodes4 = int(np.sum(np.asarray(r4.nodes_solved)))
             details["config4_scenario_batch"] = dict(
-                batch=B4, N=10, engine="pooled", probe_patience=3,
+                **_band(), batch=B4, N=10, engine="pooled", probe_patience=3,
                 wave_path=("pallas" if jax.default_backend() == "tpu"
                            else "xla"),
                 miqp_per_s=round(B4 / dt, 1),
@@ -408,6 +426,65 @@ def main():
 
     if have_budget("config4_scenario_batch"):
         _run_section(details, "config4_scenario_batch", _sec_config4,
+                     args.inject_error)
+
+    # ---- config 4b: chip-scale closed LOOP (1024-scenario DEWH fleet) ----
+    def _sec_config4b():
+            # the config-4 engine run through TIME: a receding-horizon
+            # study of 1024 DEWH scenarios fully on device — pooled
+            # multi-instance B&B inside the lax.scan, carried-plan warm
+            # starts between control steps (loop/closed_loop.py
+            # closed_loop_batch; VERDICT r3 item 9). Golden-trajectory
+            # regression: tests/test_goldens.py::test_golden_dewh_loop.
+            from pyhybridcontrol_tpu.loop.closed_loop import (
+                closed_loop_batch, make_mpc_step_batch)
+            from pyhybridcontrol_tpu.models.dewh import (
+                DewhParams, dewh_energy_price_seq, dewh_model,
+                dewh_weights)
+
+            p4 = DewhParams()
+            m4 = dewh_model(p4)
+            c4b = CondensedMpc(m4, 24, dewh_weights())
+            nc4 = m4.info.ncons
+            c4b = c4b.with_soft_constraints(
+                [k * nc4 + r for k in range(24) for r in (0, 1)],
+                lin_pen=5.0, quad_pen=1.0)
+            qp4, admm4 = c4b.device_qp(), prepare_admm_mpc(c4b)
+            probe4b = prepare_admm_mpc(c4b, rho=10.0)
+            # CPU smoke: downsized (the smoke validates the code path,
+            # not the number — chip shapes would run ~10 min on 4 cores)
+            on_tpu = jax.default_backend() == "tpu"
+            B4b, T4b = (1024, 8) if on_tpu else (64, 2)
+            spec4b = BnbSpec(capacity=1024, wave_size=1024 if on_tpu
+                             else 128, max_waves=1024, qp_iters=150,
+                             probe_patience=3)
+            draws = (0.5 * (rng.uniform(0, 1, (B4b, T4b + 24, 1)) < 0.25)
+                     ).astype(np.float32)
+            prices = dewh_energy_price_seq(
+                np.full(T4b + 24, 0.15), p4,
+                nv=m4.info.nv).astype(np.float32)
+            x0s = np.tile(np.array([55.0, 0.0], np.float32), (B4b, 1))
+            x0s[:, 0] += rng.uniform(-3, 3, B4b).astype(np.float32)
+            step4b = make_mpc_step_batch(m4, qp4, admm4,
+                                         bnb_spec=spec4b,
+                                         pool_slots=8 * B4b,
+                                         admm_probe=probe4b)
+            run4b = lambda xs: closed_loop_batch(
+                m4, step4b, xs, T4b, omega_trajs=jnp.asarray(draws),
+                price_traj=jnp.asarray(prices))
+            dt, r4b = _timeit(run4b, jnp.asarray(x0s), reps=3)
+            nodes4b = int(np.sum(np.asarray(r4b.nodes)))
+            details["config4b_dewh_loop"] = dict(
+                **_band(), batch=B4b, N=24, T=T4b, engine="pooled_in_scan",
+                wave_path=("pallas" if jax.default_backend() == "tpu"
+                           else "xla"),
+                control_steps_per_s=round(T4b / dt, 2),
+                miqp_per_s=round(B4b * T4b / dt, 1),
+                nodes_per_s=round(nodes4b / dt, 1),
+                found_frac=float(np.mean(np.asarray(r4b.found))))
+
+    if have_budget("config4b_dewh_loop"):
+        _run_section(details, "config4b_dewh_loop", _sec_config4b,
                      args.inject_error)
 
     # ---- config 5: sharded B&B (virtual mesh on 1 chip: N/A) -------------
@@ -490,7 +567,7 @@ def main():
         dt, rg = _timeit(fb2, jnp.asarray([1.5, 0.0]), reps=2)
         objb, bob = float(rg.obj), float(rg.best_open_bound)
         details["config2b_mipgap_stop"] = dict(
-            rel_gap_target=0.02, ms_per_solve=round(1e3 * dt, 2),
+            **_band(), rel_gap_target=0.02, ms_per_solve=round(1e3 * dt, 2),
             waves=int(rg.waves), nodes=int(rg.nodes_solved),
             objective=round(objb, 4),
             certified_rel_gap=(round((objb - bob) / max(1.0, abs(objb)), 4)

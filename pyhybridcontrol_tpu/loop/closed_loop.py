@@ -155,6 +155,111 @@ def _closed_loop_scan(model: MldModel, mpc_step, x0, T: int,
                             nodes=nodes, plan=plan, plan_ok=plan_ok)
 
 
+def make_mpc_step_batch(model: MldModel, qp: DeviceQP, admm: BoxQP,
+                        bnb_spec: Optional[BnbSpec] = None,
+                        pool_slots: int = 0,
+                        admm_probe=None,
+                        shift_warm: bool = True) -> Callable:
+    """Batched control step over B scenarios through the POOLED
+    multi-instance B&B (solver/bnb_pooled.py) — the closed-loop form of
+    the config-4 engine: per step, ALL B instances' nodes share one
+    global pool and every wave is one kernel-grain batch, instead of
+    B lock-stepped per-instance searches under vmap.
+
+    ``step(xs (B,nx), Ws (B,N,nω)|None, price_seq (N,nv)|None,
+    u_prevs (B,nu)|None, prev=(V (B,n), ok (B,))|None) →
+    (v0 (B,nv), obj, found, nodes, V)``. ``prev`` injects each
+    instance's previous plan, binaries shifted one stage, as a
+    fully-fixed wave-1 node (the carried-plan warm start — SURVEY.md
+    §3.3; zero marginal QP cost)."""
+    from pyhybridcontrol_tpu.solver.bnb_pooled import solve_miqp_bnb_pooled
+
+    spec = bnb_spec or BnbSpec()
+    use_shift = (shift_warm and qp.n_binary > 0
+                 and len(qp.binary_shift) == qp.n_binary)
+
+    def step(xs, Ws=None, price_seq=None, u_prevs=None, prev=None):
+        def one(x, W, up):
+            return qp.assemble(x, W, up, price_seq)
+
+        in_axes = (0, None if Ws is None else 0,
+                   None if u_prevs is None else 0)
+        f, h = jax.vmap(one, in_axes=in_axes)(xs, Ws, u_prevs)
+        init_node = None
+        if use_shift and prev is not None:
+            Vp, okp = prev                              # (B, n), (B,)
+            bidx = jnp.asarray(qp.binary_idx)
+            bprev = jnp.round(jnp.clip(Vp[:, bidx], 0.0, 1.0))
+            bvals = bprev[:, jnp.asarray(qp.binary_shift)]
+            init_node = (bvals, okp, Vp)
+        res = solve_miqp_bnb_pooled(admm, qp, f, h, spec,
+                                    pool_slots=pool_slots,
+                                    init_node=init_node,
+                                    admm_probe=admm_probe)
+        v_seq = jax.vmap(qp.full_v)(res.x)              # (B, N, nv)
+        return (v_seq[:, 0], res.obj, res.found, res.nodes_solved,
+                res.x)
+
+    step.carries_plan = use_shift
+    step.n_dec = qp.n
+    return step
+
+
+@partial(jax.jit, static_argnames=("step_batch", "T"))
+def closed_loop_batch(model: MldModel, step_batch, x0s, T: int,
+                      omega_trajs=None, price_traj=None
+                      ) -> ClosedLoopResult:
+    """T-step receding-horizon simulation of B scenarios fully on
+    device with the POOLED per-step engine (``make_mpc_step_batch``) —
+    the chip-scale closed-LOOP study (BASELINE config 4 run through
+    time instead of single-shot). x0s (B, nx); ``omega_trajs``
+    (B, T+N, nω) per-scenario actual disturbances (perfect next-N
+    forecast); ``price_traj`` (T+N, nv) shared. Logs are stacked
+    (T, B, …); ``nodes`` is the GLOBAL pooled node count per step."""
+    info = model.info
+    B = x0s.shape[0]
+    carries = bool(getattr(step_batch, "carries_plan", False))
+
+    def body(carry, k):
+        x, u_prev = carry[0], carry[1]
+        Ws = (jax.lax.dynamic_slice_in_dim(
+            omega_trajs, k, omega_trajs.shape[1] - T, axis=1)
+            if omega_trajs is not None else None)
+        P = (jax.lax.dynamic_slice_in_dim(
+            price_traj, k, price_traj.shape[0] - T)
+            if price_traj is not None else None)
+        prev = (carry[2], carry[3]) if carries else None
+        v0, obj, found, nodes, V = step_batch(x, Ws, P, u_prev,
+                                              prev=prev)
+        u, d, z = jax.vmap(info.split_v)(v0)
+        w_k = omega_trajs[:, k] if omega_trajs is not None else None
+        w_ax = None if w_k is None else 0
+        y = jax.vmap(model.output, in_axes=(0, 0, 0, 0, w_ax))(
+            x, u, d, z, w_k)
+        x_next = jax.vmap(model.step, in_axes=(0, 0, 0, 0, w_ax))(
+            x, u, d, z, w_k)
+        new_carry = (x_next, u)
+        if carries:
+            new_carry += (V, found)
+        return new_carry, (x_next, v0, y, obj, found, nodes)
+
+    u_prev0 = jnp.zeros((B, info.nu), x0s.dtype)
+    carry0 = (x0s, u_prev0)
+    if carries:
+        carry0 += (jnp.zeros((B, step_batch.n_dec), x0s.dtype),
+                   jnp.zeros((B,), bool))
+    carryT, (xs, vs, ys, objs, found, nodes) = jax.lax.scan(
+        body, carry0, jnp.arange(T))
+    xs = jnp.concatenate([x0s[None], xs], axis=0)     # (T+1, B, nx)
+    if carries:
+        plan, plan_ok = carryT[2], carryT[3]
+    else:
+        plan = jnp.zeros((0,), x0s.dtype)
+        plan_ok = jnp.asarray(False)
+    return ClosedLoopResult(xs=xs, vs=vs, ys=ys, objs=objs, found=found,
+                            nodes=nodes, plan=plan, plan_ok=plan_ok)
+
+
 def closed_loop(model: MldModel, mpc_step, x0, T: int,
                 omega_traj=None, price_traj=None,
                 u_prev0=None, prev_plan=None) -> ClosedLoopResult:

@@ -210,6 +210,17 @@ class BnbSpec:
     # owning instance, so heterogeneous objective SCALES share waves by
     # relative remaining gap instead of the low-scale instances
     # monopolizing every selection. Ignored by the single-instance loop.
+    depth_tiebreak: float = 0.0  # best-first tie-break: selection
+    # priority becomes bound − depth_tiebreak·depth. Frontier bounds
+    # cluster on exact plateaus (both children inherit the same
+    # max(parent, cert)), where top_k's index tie-break degenerates to
+    # breadth-first — the engine then explores wide and shallow and the
+    # certified gap stalls (measured on config 2: 4% at 7400 nodes vs
+    # 681 nodes for an exact-bound SEQUENTIAL best-first). A small
+    # depth preference restores diving on plateaus. Search-order only —
+    # bounds/pruning are unchanged, so the returned optimum and every
+    # certificate stay exact. Scale it well below the gap you care
+    # about (it perturbs selection, not correctness).
     sb_iters: int = 0            # batched ROOT strong branching: 0 = off;
     # k>0 → after the root relaxation, ALL 2·nb candidate children
     # (each unfixed binary fixed to 0 and to 1) are solved as ONE
@@ -250,6 +261,8 @@ class BnbSpec:
             raise ValueError("rel_gap and probe_patience must be >= 0")
         if self.sb_iters < 0:
             raise ValueError("sb_iters must be >= 0")
+        if self.depth_tiebreak < 0:
+            raise ValueError("depth_tiebreak must be >= 0")
         if self.pool_norm not in ("none", "relgap"):
             raise ValueError(f"unknown pool_norm {self.pool_norm!r}")
 
@@ -521,7 +534,10 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
 
     def body(s: BnbState) -> BnbState:
         # -- 1. best-first selection ------------------------------------
-        pri = jnp.where(s.active, s.bound, BIG)
+        pri_val = s.bound
+        if spec.depth_tiebreak > 0:
+            pri_val = pri_val - spec.depth_tiebreak * s.depth
+        pri = jnp.where(s.active, pri_val, BIG)
         neg, sel = jax.lax.top_k(-pri, W)
         valid = s.active[sel]
         fm = s.fix_mask[sel]
@@ -770,6 +786,28 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
         cdepth = s.depth[sel] + 1
         cbf = jnp.take_along_axis(xbc, jstar[:, None], axis=1)[:, 0]
         cbv = jnp.where(has_branch, jstar, -1).astype(jnp.int32)
+        # flip-delta child bound: the Falk cert's flip delta is the
+        # PROVEN extra bound of the child fixed to the tangent-
+        # disfavoured side of jstar — frontier bounds then lead the
+        # parent level by one step (the exact sequential tree solves
+        # every child's relaxation at creation; this recovers that for
+        # free on one side). Certified → best_open/gap stay exact.
+        if presolve is not None:
+            fd_j = jnp.take_along_axis(flip_delta, jstar[:, None],
+                                       axis=1)[:, 0]
+            rs_j = jnp.take_along_axis(retain_side, jstar[:, None],
+                                       axis=1)[:, 0]
+            flip_to1 = rs_j < 0.5          # flipped child fixes j to 1
+            cb_extra = jnp.where(cert_fin & has_branch,
+                                 cert + jnp.maximum(fd_j, 0.0), -BIG)
+            child0_bound = jnp.where(
+                ~flip_to1, jnp.maximum(child_bound, cb_extra),
+                child_bound)
+            child1_bound = jnp.where(
+                flip_to1, jnp.maximum(child_bound, cb_extra),
+                child_bound)
+        else:
+            child0_bound = child1_bound = child_bound
 
         # deactivate all selected nodes, then write child-0 into the
         # parent slot (inactive when not expanding — scatter is unmasked
@@ -777,7 +815,8 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
         active = s.active.at[sel].set(False)
         fix_mask = s.fix_mask.at[sel].set(jnp.where(expand[:, None], cfm, fm))
         fix_val = s.fix_val.at[sel].set(jnp.where(expand[:, None], cfv0, fv))
-        bound = s.bound.at[sel].set(child_bound)
+        bound = s.bound.at[sel].set(jnp.where(expand, child0_bound,
+                                              child_bound))
         depth = s.depth.at[sel].set(cdepth)
         branch_var = s.branch_var.at[sel].set(
             jnp.where(expand, cbv, s.branch_var[sel]))
@@ -796,7 +835,7 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
         # child-1 → free slots; best-bound children win on overflow.
         # Multi-device: the child-1 batch is exchanged across devices
         # first (load balancing — SURVEY.md §5 "node redistribution").
-        c1 = dict(fm=cfm, fv=cfv1, bound=child_bound, depth=cdepth,
+        c1 = dict(fm=cfm, fv=cfv1, bound=child1_bound, depth=cdepth,
                   live=expand & has_branch, bv=cbv, bf=cbf)
         if spec.warm_start:
             c1.update(xw=relax.x, zw=relax.z, yw=relax.y)

@@ -405,11 +405,29 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
         cdepth = m_sel[:, _DEPTH] + 1.0
         cbf = jnp.take_along_axis(xbc, jstar[:, None], axis=1)[:, 0]
         cbv = jnp.where(has_branch, jstar, -1).astype(dtype)
+        # flip-delta child bound (see solver/bnb.py): certified one-
+        # level bound lead for the tangent-disfavoured child — free.
+        if presolve is not None:
+            fd_j = jnp.take_along_axis(flip_delta, jstar[:, None],
+                                       axis=1)[:, 0]
+            rs_j = jnp.take_along_axis(retain_side, jstar[:, None],
+                                       axis=1)[:, 0]
+            flip_to1 = rs_j < 0.5
+            cb_extra = jnp.where(cert_fin & has_branch,
+                                 cert + jnp.maximum(fd_j, 0.0), -BIG)
+            child0_bound = jnp.where(
+                ~flip_to1, jnp.maximum(child_bound, cb_extra),
+                child_bound)
+            child1_bound = jnp.where(
+                flip_to1, jnp.maximum(child_bound, cb_extra),
+                child_bound)
+        else:
+            child0_bound = child1_bound = child_bound
 
         # child-0 overwrites the parent slot (instance id unchanged):
         # ONE packed meta scatter + fixenc + warm
         m_child0 = jnp.stack([
-            child_bound, cdepth, cbv,
+            child0_bound, cdepth, cbv,
             jnp.zeros((W,), dtype),                      # dir 0
             cbf, m_sel[:, _INST], expand.astype(dtype),
             jnp.zeros((W,), dtype)], axis=1)
@@ -431,11 +449,11 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
         fs_val, free_slots = jax.lax.top_k(free_score, W)
         slot_free = fs_val > 0.0
         c1live = expand & has_branch
-        order = jnp.argsort(jnp.where(c1live, child_bound, BIG))
+        order = jnp.argsort(jnp.where(c1live, child1_bound, BIG))
         write_ok = slot_free & c1live[order]
         tgt_safe = jnp.where(write_ok, free_slots, P)
         m_child1 = jnp.stack([
-            child_bound, cdepth, cbv,
+            child1_bound, cdepth, cbv,
             jnp.ones((W,), dtype),                       # dir 1
             cbf, m_sel[:, _INST],
             jnp.ones((W,), dtype),                       # active
@@ -449,7 +467,7 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
         overflow = s.overflow | jnp.any(drop_mask)
         dropped_min = s.dropped_min.at[
             jnp.where(drop_mask, ni[order], B)].min(
-            jnp.where(drop_mask, child_bound[order], BIG), mode="drop")
+            jnp.where(drop_mask, child1_bound[order], BIG), mode="drop")
 
         new_active = meta[:, _ACTIVE] > 0.0
         alive = jnp.any(new_active)

@@ -102,3 +102,44 @@ def test_golden_trajectory_regression(ctrl):
     np.testing.assert_allclose(xs, g["xs"], rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(total_cost, float(g["total_cost"]),
                                rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_closed_loop_batch_pooled_matches_vmap(ctrl):
+    """Pooled batched closed loop (round 4: the chip-scale closed-LOOP
+    study engine — loop/closed_loop.py closed_loop_batch) produces the
+    same trajectories as vmapping the single-instance loop: pooling
+    changes the per-step schedule, never the per-instance search
+    semantics."""
+    from pyhybridcontrol_tpu.loop.closed_loop import (
+        closed_loop_batch, make_mpc_step_batch)
+
+    model, c, qp, admm = ctrl
+    probe = prepare_admm_mpc(c, rho=10.0)
+    spec = BnbSpec(capacity=64, wave_size=64, max_waves=512,
+                   qp_iters=400, probe_iters=1000)
+    B, T = 4, 6
+    rng = np.random.default_rng(5)
+    x0s = jnp.asarray(rng.normal(0, 1.2, (B, 2)).astype(np.float32))
+
+    step_b = make_mpc_step_batch(model, qp, admm, bnb_spec=spec,
+                                 pool_slots=16 * B, admm_probe=probe)
+    rb = closed_loop_batch(model, step_b, x0s, T)
+
+    spec1 = BnbSpec(capacity=64, wave_size=16, max_waves=128,
+                    qp_iters=400, probe_iters=1000)
+    step1 = make_mpc_step(model, qp, admm, method="bnb", bnb_spec=spec1,
+                          admm_probe=probe)
+    rv = jax.vmap(lambda x: closed_loop(model, step1, x, T))(x0s)
+
+    assert bool(np.all(np.asarray(rb.found)))
+    assert bool(np.all(np.asarray(rv.found)))
+    # xs: pooled logs are (T+1, B, nx); vmapped are (B, T+1, nx)
+    np.testing.assert_allclose(
+        np.asarray(rb.xs).transpose(1, 0, 2), np.asarray(rv.xs),
+        atol=5e-3)
+    # per-step objectives agree to solver tolerance (different warm-
+    # start paths land on different near-converged iterates; the
+    # trajectory agreement above is the binding check)
+    np.testing.assert_allclose(
+        np.asarray(rb.objs).T, np.asarray(rv.objs), rtol=5e-3, atol=5e-3)

@@ -110,3 +110,43 @@ def test_golden_config2_pwa_hull():
     res = closed_loop(model, step, jnp.asarray([1.5, 0.0]), T=6)
     assert bool(np.asarray(res.found).all())
     _check_or_create("pwa_hull_N8_T6.npz", res)
+
+
+@pytest.mark.slow
+def test_golden_dewh_loop():
+    """Golden for the config-4b closed-LOOP study (bench.py): a small
+    CPU replica of the 1024-scenario DEWH fleet loop — pooled engine
+    inside the scan, carried-plan warm starts — pinned to a committed
+    trajectory."""
+    from pyhybridcontrol_tpu.loop.closed_loop import (
+        closed_loop_batch, make_mpc_step_batch)
+    from pyhybridcontrol_tpu.models.dewh import (
+        DewhParams, dewh_energy_price_seq, dewh_model, dewh_weights)
+
+    p = DewhParams()
+    m = dewh_model(p)
+    c = CondensedMpc(m, 12, dewh_weights())
+    nc = m.info.ncons
+    c = c.with_soft_constraints(
+        [k * nc + r for k in range(12) for r in (0, 1)],
+        lin_pen=5.0, quad_pen=1.0)
+    qp, admm = c.device_qp(), prepare_admm_mpc(c)
+    probe = prepare_admm_mpc(c, rho=10.0)
+    B, T = 8, 4
+    rng = np.random.default_rng(11)
+    draws = (0.5 * (rng.uniform(0, 1, (B, T + 12, 1)) < 0.25)
+             ).astype(np.float32)
+    prices = dewh_energy_price_seq(
+        np.full(T + 12, 0.15), p, nv=m.info.nv).astype(np.float32)
+    x0s = np.tile(np.array([55.0, 0.0], np.float32), (B, 1))
+    x0s[:, 0] += rng.uniform(-3, 3, B).astype(np.float32)
+    step = make_mpc_step_batch(
+        m, qp, admm,
+        bnb_spec=BnbSpec(capacity=256, wave_size=64, max_waves=256,
+                         qp_iters=150, probe_patience=3),
+        pool_slots=32 * B, admm_probe=probe)
+    res = closed_loop_batch(m, step, jnp.asarray(x0s), T,
+                            omega_trajs=jnp.asarray(draws),
+                            price_traj=jnp.asarray(prices))
+    assert bool(np.all(np.asarray(res.found)))
+    _check_or_create("dewh_loop_B8_N12_T4.npz", res)
