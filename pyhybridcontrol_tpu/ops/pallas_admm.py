@@ -170,40 +170,83 @@ def _mm(prec):
     return mm
 
 
+def _bf16_split(a):
+    """fp32 → (hi, lo) bf16 pair with hi + lo ≈ a to ~16 mantissa bits."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _mm3(Ahi, Alo):
+    """Manual 3-pass bf16 matmul: A·b ≈ Ahi·bhi + Ahi·blo + Alo·bhi
+    (the lo·lo term is below fp32 rounding). This is exactly what
+    ``precision=HIGH`` lowers to on the MXU — but Mosaic rejects HIGH
+    inside a kernel (round-3 finding), so the decomposition is spelled
+    out: three DEFAULT-precision bf16 passes with fp32 accumulation,
+    i.e. half the 6-pass HIGHEST MXU time per matmul. The CONSTANT
+    operand is split once outside the iteration loop; only the iterate
+    operand pays a 2-op split per call."""
+    def mm(b):
+        bhi, blo = _bf16_split(b)
+        d = _mm(jax.lax.Precision.DEFAULT)
+        return d(Ahi, bhi) + d(Ahi, blo) + d(Alo, bhi)
+    return mm
+
+
 def _phase(q, lG, uG, lB, uB, AGT, M, dbox, rhoG, rhoGi, rhoB, rhoBi,
-           zG, yG, zB, yB, iters: int, alpha: float, prec):
+           zG, yG, zB, yB, iters: int, alpha: float, prec,
+           iters_lo: int = 0):
     """``iters`` ADMM iterations plus one extra x-update, all VMEM
     arrays. (zG, yG, zB, yB) are the (already-clipped) initial iterates.
     Returns (ztG, ztB, x, zG, yG, zB, yB, dyG, dyB) — zt is Â x̃ of the
     post-loop half step, whose δy feeds the infeasibility certificate
     (same as one more iteration of the XLA path); the loop carry stays
-    minimal. Shared by the plain kernel and the fused wave kernel."""
+    minimal. Shared by the plain kernel and the fused wave kernel.
+
+    ``iters_lo``: the first iters_lo iterations run the manual bf16
+    3-pass matmuls (``_mm3`` — the in-kernel twin of
+    ops/admm.admm_solve_mixed's HIGH phase), the tail and the final
+    half step at ``prec``. ADMM is self-correcting: early iterations
+    only need to move the iterate into the basin; the full-precision
+    tail restores the converged accuracy (measured +20% on the XLA
+    path at ~1e-3 relative objective noise)."""
     mm = _mm(prec)
     mGp = AGT.shape[1]
 
-    def half_step(zG, yG, zB, yB):
-        """w → t → u = Â x̃ (the x-update of one OSQP iteration)."""
-        wG = rhoG * zG - yG
-        wB = rhoB * zB - yB
-        t = mm(AGT, wG) + dbox * wB - q           # (nr, B)
-        return mm(M, t)                           # Â x̃, both blocks
+    def half_step_with(mmA, mmM):
+        def half_step(zG, yG, zB, yB):
+            """w → t → u = Â x̃ (the x-update of one OSQP iteration)."""
+            wG = rhoG * zG - yG
+            wB = rhoB * zB - yB
+            t = mmA(wG) + dbox * wB - q           # (nr, B)
+            return mmM(t)                         # Â x̃, both blocks
+        return half_step
 
-    def body(_, carry):
-        zG, yG, zB, yB = carry
-        u = half_step(zG, yG, zB, yB)
-        ztG = u[:mGp]
-        ztB = u[mGp:]
-        zrG = alpha * ztG + (1.0 - alpha) * zG
-        zG_new = jnp.clip(zrG + yG * rhoGi, lG, uG)
-        dyG = rhoG * (zrG - zG_new)
-        zrB = alpha * ztB + (1.0 - alpha) * zB
-        zB_new = jnp.clip(zrB + yB * rhoBi, lB, uB)
-        dyB = rhoB * (zrB - zB_new)
-        return (zG_new, yG + dyG, zB_new, yB + dyB)
+    def body_with(half_step):
+        def body(_, carry):
+            zG, yG, zB, yB = carry
+            u = half_step(zG, yG, zB, yB)
+            ztG = u[:mGp]
+            ztB = u[mGp:]
+            zrG = alpha * ztG + (1.0 - alpha) * zG
+            zG_new = jnp.clip(zrG + yG * rhoGi, lG, uG)
+            dyG = rhoG * (zrG - zG_new)
+            zrB = alpha * ztB + (1.0 - alpha) * zB
+            zB_new = jnp.clip(zrB + yB * rhoBi, lB, uB)
+            dyB = rhoB * (zrB - zB_new)
+            return (zG_new, yG + dyG, zB_new, yB + dyB)
+        return body
 
-    zG, yG, zB, yB = jax.lax.fori_loop(0, iters, body, (zG, yG, zB, yB))
+    half_full = half_step_with(lambda w: mm(AGT, w), lambda t: mm(M, t))
+    carry = (zG, yG, zB, yB)
+    if iters_lo > 0:
+        half_lo = half_step_with(_mm3(*_bf16_split(AGT)),
+                                 _mm3(*_bf16_split(M)))
+        carry = jax.lax.fori_loop(0, iters_lo, body_with(half_lo), carry)
+    zG, yG, zB, yB = jax.lax.fori_loop(0, max(iters - iters_lo, 0),
+                                       body_with(half_full), carry)
 
-    u = half_step(zG, yG, zB, yB)
+    u = half_full(zG, yG, zB, yB)
     ztG = u[:mGp]
     ztB = u[mGp:]
     zrG = alpha * ztG + (1.0 - alpha) * zG
@@ -270,7 +313,8 @@ def _admm_kernel(q_ref, lG_ref, uG_ref, lB_ref, uB_ref,
                  agt_ref, m_ref, p_ref, dbox_ref, dboxi_ref,
                  rhoG_ref, rhoGi_ref, rhoB_ref, rhoBi_ref,
                  egi_ref, ebi_ref, dci_ref, cinv_ref,
-                 *rest, iters: int, alpha: float, prec, warm: bool):
+                 *rest, iters: int, alpha: float, prec, warm: bool,
+                 iters_lo: int = 0):
     if warm:
         z0G_ref, y0G_ref, z0B_ref, y0B_ref = rest[:4]
         rest = rest[4:]
@@ -298,7 +342,7 @@ def _admm_kernel(q_ref, lG_ref, uG_ref, lB_ref, uB_ref,
 
     ztG, ztB, zG, yG, zB, yB, dyG, dyB = _phase(
         q, lG, uG, lB, uB, AGT, M, dbox, rhoG, rhoGi, rhoB, rhoBi,
-        zG, yG, zB, yB, iters, alpha, prec)
+        zG, yG, zB, yB, iters, alpha, prec, iters_lo=iters_lo)
     x = ztB * dboxi                               # x̃ = d⁻¹ (d ∘ x̃)
     x_ref[:] = x
     zG_ref[:] = zG
@@ -418,10 +462,11 @@ _PREC = {"highest": jax.lax.Precision.HIGHEST,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("iters", "tile", "warm", "interpret"))
+                   static_argnames=("iters", "tile", "warm", "interpret",
+                                    "iters_lo"))
 def _pallas_run(pq: PallasQP, qT, lGT, uGT, lBT, uBT, warm_arrs,
                 iters: int, tile: int, warm: bool,
-                interpret: bool = False):
+                interpret: bool = False, iters_lo: int = 0):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -431,7 +476,7 @@ def _pallas_run(pq: PallasQP, qT, lGT, uGT, lBT, uBT, warm_arrs,
     grid = (B // tile,)
     kernel = functools.partial(
         _admm_kernel, iters=iters, alpha=spec.alpha,
-        prec=_PREC[spec.precision], warm=warm)
+        prec=_PREC[spec.precision], warm=warm, iters_lo=iters_lo)
 
     def tile_spec(rows):
         return pl.BlockSpec((rows, tile), lambda i: (0, i),
@@ -487,13 +532,18 @@ def _pallas_run(pq: PallasQP, qT, lGT, uGT, lBT, uBT, warm_arrs,
 
 def admm_solve_pallas(pq: PallasQP, q, h, lb, ub, iters: int = 100,
                       tile: int = 512, warm=None,
-                      interpret: bool = False) -> AdmmResult:
+                      interpret: bool = False,
+                      low_frac: float = 0.0) -> AdmmResult:
     """Batched ADMM via the Pallas kernel. q (B,n), h (B,m), lb/ub (B,n)
     in ORIGINAL units; returns the same AdmmResult as ``admm_solve``
     (original-unit x/obj/residuals, scaled-frame z/y for warm starts).
     ``warm``: optional (x, z, y) from a previous AdmmResult (x unused —
     the σ=0 iteration has no x-carry). B must be a multiple of ``tile``
-    (pad the batch at call sites)."""
+    (pad the batch at call sites).
+    ``low_frac``: fraction of the iterations run with the manual bf16
+    3-pass matmuls (in-kernel mixed precision — see ``_phase``); keep 0
+    for B&B bound work, opt in for throughput-bound relaxation
+    sweeps."""
     spec = pq.base
     n, m = spec.n, spec.m_ineq
     mt = spec.m_total
@@ -527,7 +577,8 @@ def admm_solve_pallas(pq: PallasQP, q, h, lb, ub, iters: int = 100,
 
     xT, zGT, yGT, zBT, yBT, stats = _pallas_run(
         pq, qT, lGT, uGT, lBT, uBT, warm_arrs, iters, tile,
-        warm is not None, interpret)
+        warm is not None, interpret,
+        iters_lo=int(iters * low_frac))
 
     x = (spec.D * xT[:n].T)
     z = jnp.concatenate([zGT[:m].T, zBT[:n].T], axis=-1)

@@ -334,3 +334,34 @@ def test_fused_wave_matches_sequential(rng, monkeypatch):
                                rtol=5e-3, atol=5e-3)
     np.testing.assert_array_equal(np.asarray(lbk[:, bidx]),
                                   np.asarray(pv)[..., :])
+
+
+def test_mixed_precision_kernel_parity(small_prob=None):
+    """In-kernel bf16 3-pass mixed precision (round 4, low_frac): the
+    80/20 schedule's converged objective matches the full-HIGHEST
+    kernel to solver tolerance (ADMM is self-correcting; the tail
+    restores accuracy). Interpret mode on CPU — same kernel program
+    the chip runs."""
+    from pyhybridcontrol_tpu.models.double_integrator import (
+        switched_double_integrator, default_weights)
+    from pyhybridcontrol_tpu.ops.condense import CondensedMpc
+    from pyhybridcontrol_tpu.ops.pallas_admm import (
+        admm_solve_pallas, pallas_for)
+
+    model = switched_double_integrator()
+    c = CondensedMpc(model, 12, default_weights())
+    qp, spec = c.device_qp(), prepare_admm_mpc(c)
+    pq = pallas_for(spec)
+    rng = np.random.default_rng(3)
+    B = 128
+    x0s = jnp.asarray(rng.normal(size=(B, 2)).astype(np.float32))
+    f, h = jax.vmap(qp.assemble)(x0s)
+    lb = jnp.broadcast_to(qp.lb, (B, qp.n))
+    ub = jnp.broadcast_to(qp.ub, (B, qp.n))
+    r_full = admm_solve_pallas(pq, f, h, lb, ub, iters=120,
+                               interpret=True)
+    r_mix = admm_solve_pallas(pq, f, h, lb, ub, iters=120,
+                              interpret=True, low_frac=0.8)
+    np.testing.assert_allclose(np.asarray(r_mix.obj),
+                               np.asarray(r_full.obj),
+                               rtol=2e-3, atol=2e-3)
