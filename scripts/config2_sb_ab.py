@@ -40,6 +40,11 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/tpu_hybrid_mpc_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
 
     from pyhybridcontrol_tpu.ops.admm import prepare_admm_mpc
     from pyhybridcontrol_tpu.ops.condense import CondensedMpc
