@@ -549,9 +549,22 @@ def main():
         return _finish(details, solves_per_s)
 
     def _sec_config2b():
-        spec_gap = BnbSpec(capacity=2048, wave_size=128, max_waves=64,
+        # root_iters + sb_iters (round 4): pre-converge the root (a cold
+        # 200-iter root cert is 12 vs the true 57.6 — docs/PERFORMANCE.md
+        # certification anatomy) and strong-branch it with REAL child
+        # bounds. Measured on the deterministic CPU A/B: 33 waves /
+        # 3365 nodes to a certified 1.2% vs 52 / 5561 / 1.93% baseline
+        # (−40% tree, better gap); sb WITHOUT the converged root is
+        # neutral-to-harmful (3.7% — candidate bounds at a cold root
+        # are noise).
+        # capacity 8192: the 2048-slot pool OVERFLOWS on this tree and
+        # dropped_min then pins the certified gap permanently (measured
+        # on chip: 4.0% with overflow=true at 2048 vs the 8192-slot CPU
+        # A/B's 1.2%) — ~100 MB of HBM buys gap validity.
+        spec_gap = BnbSpec(capacity=8192, wave_size=128, max_waves=64,
                            qp_iters=200, probe_iters=600, gap=1e-3,
-                           probe_patience=3, rel_gap=0.02)
+                           probe_patience=3, rel_gap=0.02,
+                           root_iters=3200, sb_iters=400)
         qpw, admw, admw_p = cfg2["qpw"], cfg2["admw"], cfg2["admw_p"]
         rspec = cfg2["rspec"]
         root_repair_incumbent = cfg2["root_repair_incumbent"]

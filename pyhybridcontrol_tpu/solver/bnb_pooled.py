@@ -96,13 +96,14 @@ class PooledState:
     meta: jnp.ndarray          # (P, 8) f32 packed per-node metadata
     fixenc: jnp.ndarray        # (P, nb) f32: −1 unfixed / 0 / 1 fixed
     warm: jnp.ndarray          # (P, n+2mt) f32: x ‖ z ‖ y
-    # shared pseudo-costs (nb, 2)
-    pc_sum: jnp.ndarray
-    pc_cnt: jnp.ndarray
-    # per-instance incumbents
+    # shared pseudo-costs, packed (nb, 2 dirs, 2): [..., 0] = sum of
+    # per-unit degradations, [..., 1] = observation count — ONE
+    # scatter-add per wave instead of two
+    pc: jnp.ndarray
+    # per-instance incumbents; x and found are packed (B, n+1) with
+    # found as the trailing 0/1 column — one winner scatter, not two
     inc_obj: jnp.ndarray       # (B,)
-    inc_x: jnp.ndarray         # (B, n)
-    inc_found: jnp.ndarray     # (B,) bool
+    inc_xf: jnp.ndarray        # (B, n+1)
     # loop bookkeeping
     wave: jnp.ndarray
     nodes_solved: jnp.ndarray
@@ -151,11 +152,9 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
         meta=meta0,
         fixenc=jnp.full((P, nb), -1.0, dtype),
         warm=jnp.zeros((P, n + 2 * mt), dtype),
-        pc_sum=jnp.zeros((nb, 2), dtype),
-        pc_cnt=jnp.zeros((nb, 2), dtype),
+        pc=jnp.zeros((nb, 2, 2), dtype),
         inc_obj=jnp.full((B,), BIG, dtype),
-        inc_x=jnp.zeros((B, n), dtype),
-        inc_found=jnp.zeros((B,), bool),
+        inc_xf=jnp.zeros((B, n + 1), dtype),
         wave=jnp.asarray(0, jnp.int32),
         nodes_solved=jnp.asarray(0, jnp.int32),
         overflow=jnp.asarray(False),
@@ -169,8 +168,11 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
         s = dataclasses.replace(
             s,
             inc_obj=jnp.where(ok0, obj0.astype(dtype), s.inc_obj),
-            inc_x=jnp.where(ok0[:, None], x0V.astype(dtype), s.inc_x),
-            inc_found=s.inc_found | ok0)
+            inc_xf=jnp.where(
+                ok0[:, None],
+                jnp.concatenate([x0V.astype(dtype),
+                                 jnp.ones((B, 1), dtype)], axis=-1),
+                s.inc_xf))
     if spec.root_iters > spec.qp_iters and spec.warm_start:
         lb0, ub0 = node_bounds(s.fixenc[:B])
         r0 = backend.solve(f, h, lb0, ub0,
@@ -198,7 +200,8 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
         live = s.alive & (s.wave < spec.max_waves)
         if spec.rel_gap > 0:
             tol = spec.rel_gap * jnp.maximum(1.0, jnp.abs(s.inc_obj))
-            inst_done = s.inc_found & (s.inc_obj - s.best_open <= tol)
+            inst_done = ((s.inc_xf[:, -1] > 0.0)
+                         & (s.inc_obj - s.best_open <= tol))
             live &= ~jnp.all(inst_done)
         return live
 
@@ -216,7 +219,8 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
             inc_i = s.inc_obj[pool_inst]
             norm = ((pool_bound - inc_i)
                     / jnp.maximum(1.0, jnp.abs(inc_i)))
-            pri_val = jnp.where(s.inc_found[pool_inst], norm, -BIG)
+            pri_val = jnp.where(s.inc_xf[pool_inst, -1] > 0.0, norm,
+                                -BIG)
         else:
             pri_val = pool_bound
         pri = jnp.where(pool_active, pri_val, BIG)
@@ -249,7 +253,8 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
             probe_ran = jnp.asarray(True)
         else:
             retry = (s.wave % jnp.int32(spec.probe_patience + 1)) == 0
-            probe_ran = (~jnp.all(s.inc_found) | retry
+            inc_found_all = jnp.all(s.inc_xf[:, -1] > 0.0)
+            probe_ran = (~inc_found_all | retry
                          | (s.probe_stale < spec.probe_patience))
 
         def wave_probe(_):
@@ -319,9 +324,9 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
         denom = jnp.where(bdir == 1, 1.0 - bf, bf)
         contrib = jnp.where(obs, gain / jnp.maximum(denom, 1e-3), 0.0)
         bv_safe = jnp.where(obs, bv, nb)
-        pc_sum = s.pc_sum.at[bv_safe, bdir].add(contrib, mode="drop")
-        pc_cnt = s.pc_cnt.at[bv_safe, bdir].add(
-            obs.astype(s.pc_cnt.dtype), mode="drop")
+        pc = s.pc.at[bv_safe, bdir].add(
+            jnp.stack([contrib, obs.astype(dtype)], axis=-1),
+            mode="drop")
 
         # -- 3. per-instance incumbent update (probe candidates only —
         # see solver/bnb.py for why relax-harvesting was rejected):
@@ -338,8 +343,11 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
             jnp.where(improved, rows, W).astype(jnp.int32))
         winner = improved & (rows == first[ni])
         tgt = jnp.where(winner, ni, B)
-        inc_x = s.inc_x.at[tgt].set(probe_x, mode="drop")
-        inc_found = s.inc_found.at[tgt].set(True, mode="drop")
+        inc_xf = s.inc_xf.at[tgt].set(
+            jnp.concatenate([probe_x,
+                             jnp.ones(probe_x.shape[:-1] + (1,), dtype)],
+                            axis=-1), mode="drop")
+        inc_found = inc_xf[:, -1] > 0.0
 
         # -- 4. prune (per-instance incumbent); defer leaf candidates
         # on probe-gated waves (see solver/bnb.py) -----------------------
@@ -381,6 +389,8 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
                                 parent_bound)
         xbc = jnp.clip(xb, 0.0, 1.0)
         if spec.branching == "pseudocost":
+            pc_sum = pc[..., 0]
+            pc_cnt = pc[..., 1]
             cnt_tot = jnp.sum(pc_cnt, axis=0)
             gavg = jnp.where(cnt_tot > 0,
                              jnp.sum(pc_sum, axis=0)
@@ -479,8 +489,8 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
 
         return PooledState(
             meta=meta, fixenc=fixenc, warm=warm_arr,
-            pc_sum=pc_sum, pc_cnt=pc_cnt,
-            inc_obj=inc_obj, inc_x=inc_x, inc_found=inc_found,
+            pc=pc,
+            inc_obj=inc_obj, inc_xf=inc_xf,
             wave=s.wave + 1,
             nodes_solved=(s.nodes_solved
                           + jnp.sum(valid.astype(jnp.int32))),
@@ -494,7 +504,8 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
             s.meta[:, _INST].astype(jnp.int32)].min(
             jnp.where(act, s.meta[:, _BOUND], BIG)),
         s.dropped_min)
-    return BnbResult(x=s.inc_x, obj=s.inc_obj, found=s.inc_found,
+    return BnbResult(x=s.inc_xf[:, :-1], obj=s.inc_obj,
+                     found=s.inc_xf[:, -1] > 0.0,
                      waves=s.wave, nodes_solved=s.nodes_solved,
                      overflow=s.overflow, best_open_bound=best_open)
 
