@@ -561,7 +561,14 @@ def main():
         # dropped_min then pins the certified gap permanently (measured
         # on chip: 4.0% with overflow=true at 2048 vs the 8192-slot CPU
         # A/B's 1.2%) — ~100 MB of HBM buys gap validity.
-        spec_gap = BnbSpec(capacity=8192, wave_size=128, max_waves=64,
+        # max_waves 128: the 2%-stop endpoint at a tight wave cap is
+        # noisy (compile-to-compile fp differences move the 64-wave gap
+        # by ±1.5% — CLAUDE.md round-4 lessons); headroom makes the
+        # section's contract "wall to a CERTIFIED ≤2%" instead of
+        # "whatever gap 64 waves reached". sb is seed-only by default
+        # (sb_fix=False — the certificate fixing arms are not
+        # chip-arithmetic-safe).
+        spec_gap = BnbSpec(capacity=8192, wave_size=128, max_waves=128,
                            qp_iters=200, probe_iters=600, gap=1e-3,
                            probe_patience=3, rel_gap=0.02,
                            root_iters=3200, sb_iters=400)

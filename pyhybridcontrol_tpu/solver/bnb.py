@@ -236,6 +236,14 @@ class BnbSpec:
     # the two child bounds over the worse branch is a bound on ALL of
     # them. Only the dual infeasibility certificate may fix (a large
     # residual at few iterations is just "unconverged").
+    sb_fix: bool = False         # enable the (b)/(c) arms above. OFF by
+    # default: both are only as sound as the certificates' ARITHMETIC —
+    # on-chip (6-pass bf16 composition) the same program that wins on
+    # CPU produced a 3.7%-worse incumbent (63.26 vs 61.0, measured),
+    # consistent with a borderline certificate fixing away the optimal
+    # subtree. Pseudo-cost seeding (a) is search-order-only and always
+    # safe. Turn this on for CPU/fp64-grade runs or after validating
+    # the cert margins on the target arithmetic.
     root_iters: int = 0          # extra-converged root relaxation: the
     # root is ONE solve whose bound gates the entire search — if it
     # does not reach feas_tol within qp_iters, every descendant
@@ -495,22 +503,27 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
                   .at[:nb, 0].add(gain0 / jnp.maximum(xb0, 1e-3))
                   .at[:nb, 1].add(gain1 / jnp.maximum(1.0 - xb0, 1e-3)))
         pc_cnt = state.pc_cnt.at[:nb, :].add(1.0)
-        # (b) root fixing: side v certified infeasible, or (with an
-        # incumbent seed) certified unable to beat it → fix to 1−v
-        lose0 = inf0 | (state.inc_found & (cert0 >= state.inc_obj - spec.gap))
-        lose1 = inf1 | (state.inc_found & (cert1 >= state.inc_obj - spec.gap))
-        fixj = lose0 | lose1
-        valj = jnp.where(lose0, 1.0, 0.0).astype(dtype)
-        # (c) root-bound lift: every integral point has δ_j ∈ {0,1}
-        lift = jnp.max(jnp.minimum(cert0, cert1))
-        lift = jnp.maximum(lift, root_bound)
-        state = dataclasses.replace(
-            state, pc_sum=pc_sum, pc_cnt=pc_cnt,
-            fix_mask=state.fix_mask.at[0].set(state.fix_mask[0] | fixj),
-            fix_val=state.fix_val.at[0].set(
-                jnp.where(fixj, valj, state.fix_val[0])),
-            bound=state.bound.at[0].set(
-                jnp.maximum(state.bound[0], lift)))
+        state = dataclasses.replace(state, pc_sum=pc_sum, pc_cnt=pc_cnt)
+        if spec.sb_fix:
+            # (b) root fixing: side v certified infeasible, or (with an
+            # incumbent seed) certified unable to beat it → fix to 1−v
+            lose0 = inf0 | (state.inc_found
+                            & (cert0 >= state.inc_obj - spec.gap))
+            lose1 = inf1 | (state.inc_found
+                            & (cert1 >= state.inc_obj - spec.gap))
+            fixj = lose0 | lose1
+            valj = jnp.where(lose0, 1.0, 0.0).astype(dtype)
+            # (c) root-bound lift: every integral point has δ_j ∈ {0,1}
+            lift = jnp.max(jnp.minimum(cert0, cert1))
+            lift = jnp.maximum(lift, root_bound)
+            state = dataclasses.replace(
+                state,
+                fix_mask=state.fix_mask.at[0].set(
+                    state.fix_mask[0] | fixj),
+                fix_val=state.fix_val.at[0].set(
+                    jnp.where(fixj, valj, state.fix_val[0])),
+                bound=state.bound.at[0].set(
+                    jnp.maximum(state.bound[0], lift)))
         if spec.warm_start:
             state = dataclasses.replace(
                 state,

@@ -266,7 +266,8 @@ def test_strong_branching_preserves_optimum(prob):
     which may change the returned optimum."""
     qp, admm, f, h = prob
     base = solve_miqp_bnb(admm, qp, f, h, _base())
-    sb = solve_miqp_bnb(admm, qp, f, h, _base(sb_iters=200))
+    sb = solve_miqp_bnb(admm, qp, f, h,
+                        _base(sb_iters=200, sb_fix=True))
     assert bool(sb.found)
     np.testing.assert_allclose(float(sb.obj), float(base.obj),
                                rtol=1e-5, atol=1e-4)
@@ -283,7 +284,7 @@ def test_strong_branching_root_lift_is_valid(prob):
     one = solve_miqp_bnb(
         admm, qp, f, h,
         BnbSpec(capacity=128, wave_size=8, max_waves=1, qp_iters=400,
-                sb_iters=400))
+                sb_iters=400, sb_fix=True))
     bo = float(one.best_open_bound)
     if bo < BIG * 0.99:
         assert bo <= float(exact.obj) + 1e-4
@@ -296,7 +297,8 @@ def test_strong_branching_with_incumbent_seed(prob):
     qp, admm, f, h = prob
     exact = solve_miqp_bnb(admm, qp, f, h, _base())
     seed = (exact.obj, exact.x, exact.found)
-    sb = solve_miqp_bnb(admm, qp, f, h, _base(sb_iters=300),
+    sb = solve_miqp_bnb(admm, qp, f, h,
+                        _base(sb_iters=300, sb_fix=True),
                         init_incumbent=seed)
     assert bool(sb.found)
     np.testing.assert_allclose(float(sb.obj), float(exact.obj),
