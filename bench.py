@@ -549,29 +549,26 @@ def main():
         return _finish(details, solves_per_s)
 
     def _sec_config2b():
-        # root_iters + sb_iters (round 4): pre-converge the root (a cold
-        # 200-iter root cert is 12 vs the true 57.6 — docs/PERFORMANCE.md
-        # certification anatomy) and strong-branch it with REAL child
-        # bounds. Measured on the deterministic CPU A/B: 33 waves /
-        # 3365 nodes to a certified 1.2% vs 52 / 5561 / 1.93% baseline
-        # (−40% tree, better gap); sb WITHOUT the converged root is
-        # neutral-to-harmful (3.7% — candidate bounds at a cold root
-        # are noise).
         # capacity 8192: the 2048-slot pool OVERFLOWS on this tree and
         # dropped_min then pins the certified gap permanently (measured
-        # on chip: 4.0% with overflow=true at 2048 vs the 8192-slot CPU
-        # A/B's 1.2%) — ~100 MB of HBM buys gap validity.
+        # on chip: 4.0% with overflow=true at 2048) — ~100 MB of HBM
+        # buys gap validity.
         # max_waves 128: the 2%-stop endpoint at a tight wave cap is
         # noisy (compile-to-compile fp differences move the 64-wave gap
         # by ±1.5% — CLAUDE.md round-4 lessons); headroom makes the
         # section's contract "wall to a CERTIFIED ≤2%" instead of
-        # "whatever gap 64 waves reached". sb is seed-only by default
-        # (sb_fix=False — the certificate fixing arms are not
-        # chip-arithmetic-safe).
+        # "whatever gap 64 waves reached".
+        # NO sb_iters here: root strong branching wins on the
+        # deterministic CPU A/B (45 waves / 3725 nodes to 1.24% vs
+        # 52 / 5561 / 1.93%, seed-only) but the SAME program on chip
+        # shipped incumbents 1–38% worse across three runs — the
+        # chip-evaluated candidate data (6-pass-arithmetic infeasibility
+        # certificates feeding the pseudo-cost seeds) is not reliable.
+        # Documented negative result in docs/PERFORMANCE.md; sb stays an
+        # opt-in knob for CPU/fp64-grade runs.
         spec_gap = BnbSpec(capacity=8192, wave_size=128, max_waves=128,
                            qp_iters=200, probe_iters=600, gap=1e-3,
-                           probe_patience=3, rel_gap=0.02,
-                           root_iters=3200, sb_iters=400)
+                           probe_patience=3, rel_gap=0.02)
         qpw, admw, admw_p = cfg2["qpw"], cfg2["admw"], cfg2["admw_p"]
         rspec = cfg2["rspec"]
         root_repair_incumbent = cfg2["root_repair_incumbent"]
