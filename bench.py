@@ -241,6 +241,42 @@ def main():
     _run_section(details, "primary_qp_xla_solves_per_s", _sec_xla_ab,
                  args.inject_error)
 
+    # in-kernel mixed precision (round 4: manual bf16 3-pass for the
+    # leading 80% of iterations — ops/pallas_admm.py low_frac). Reported
+    # as its OWN metric next to the full-precision primary with an
+    # on-device parity check; interpret-mode parity is 7.5e-6
+    # (test_pallas_admm.py), the chip number decides whether it becomes
+    # a headline. Same-process A/B skews ~10-20% — treat as indicative.
+    def _sec_mixed():
+        if jax.default_backend() != "tpu":
+            return
+        from pyhybridcontrol_tpu.ops.pallas_admm import (
+            admm_solve_pallas, pallas_for)
+
+        pq20 = pallas_for(admm20)
+
+        @jax.jit
+        def batch_relax_mixed(x0s):
+            fs, hs = jax.vmap(qp20.assemble)(x0s)
+            lb = jnp.broadcast_to(qp20.lb, (B, qp20.n))
+            ub = jnp.broadcast_to(qp20.ub, (B, qp20.n))
+            res = admm_solve_pallas(pq20, fs, hs, lb, ub, iters=ITERS,
+                                    low_frac=0.8)
+            return res.obj, res.r_prim_rel
+
+        dt_m = _timeit_marginal(batch_relax_mixed, x0s)
+        obj_m, _ = batch_relax_mixed(x0s)
+        obj_f, _ = batch_relax(x0s)
+        par = float(np.max(np.abs(np.asarray(obj_m) - np.asarray(obj_f))
+                           / np.maximum(1.0, np.abs(np.asarray(obj_f)))))
+        details["primary_qp_mixed"] = dict(
+            low_frac=0.8, solves_per_s=round(B / dt_m, 1),
+            vs_full_pct=round(100.0 * (dt / dt_m - 1.0), 1),
+            parity_max_rel_obj_delta=par)
+
+    _run_section(details, "primary_qp_mixed", _sec_mixed,
+                 args.inject_error)
+
     # cold-compile guard (generalizes the config-2b gate, ADVICE r2):
     # with a cold persistent-compilation cache every section's first
     # run spends minutes inside the axon remote-compile relay, and a

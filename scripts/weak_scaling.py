@@ -86,7 +86,12 @@ def main():
                     "cores, so weak efficiency saturates at "
                     "1/min(P, cores/threads-per-instance) — machinery "
                     "validation only; rerun on a pod for the >=80% "
-                    "target" if virtual else
+                    "target. Read axis_pool with its per-P 'control' "
+                    "row (a 1-device run at the SAME flops per wave): "
+                    "negative sharding_overhead_pct means the sharded "
+                    "path costs NOTHING beyond the shared host's "
+                    "compute — the falling efficiency is host "
+                    "serialization, not collectives." if virtual else
                     "real device mesh measurement")}
 
     # ---- axis 1: weak scaling over independent scenario MIQPs --------
@@ -216,6 +221,48 @@ def main():
               f"strong-eff {eff * 100:5.1f}%  per-wave-eff "
               f"{eff_w * 100:5.1f}%  obj {float(r.obj):.4f}")
         Pn *= 2
+
+    # ---- flops-normalized control (VERDICT r3 weak #6) ----------------
+    # A P-device wave solves w·P nodes; on this VIRTUAL mesh all P
+    # devices share one 4-core host, so s/wave rising with P reads as
+    # "doesn't scale" without context. The control: a SINGLE-device run
+    # at wave_size w·P — the SAME flops per wave with zero collectives
+    # and zero sharding machinery. s_per_wave(P) ÷ control(P) isolates
+    # what sharding itself costs from what the shared host costs: near
+    # 1.0 means the virtual-mesh slowdown is host compute, and the
+    # sharded path adds (almost) nothing — the honest machinery claim
+    # this artifact can make without a pod.
+    for Pn in list(results_pool):
+        if Pn == 1:
+            results_pool[Pn]["control"] = dict(
+                s_per_wave_1dev_same_flops=results_pool[1]["s_per_wave"],
+                sharding_overhead_pct=0.0)
+            continue
+        mesh1 = make_mesh([("pool", 1)])
+        waves = -(-args.node_budget // (w * Pn))
+        spec_c = BnbSpec(capacity=2048, wave_size=w * Pn,
+                         max_waves=waves, qp_iters=args.qp_iters,
+                         warm_start=True, root_iters=4 * args.qp_iters)
+        rc_ = solve_miqp_bnb_sharded(admd, qpd, fd, hd, spec_c, mesh1,
+                                     init_incumbent=seed_d)
+        rc_.obj.block_until_ready()
+        best = None
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            rc_ = solve_miqp_bnb_sharded(admd, qpd, fd, hd, spec_c,
+                                         mesh1, init_incumbent=seed_d)
+            rc_.obj.block_until_ready()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        spw_c = best / max(int(rc_.waves), 1)
+        ovh = results_pool[Pn]["s_per_wave"] / spw_c - 1.0
+        results_pool[Pn]["control"] = dict(
+            s_per_wave_1dev_same_flops=round(spw_c, 5),
+            sharding_overhead_pct=round(100.0 * ovh, 1))
+        print(f"ctrl P={Pn}: 1-dev wave of {w * Pn} nodes "
+              f"{spw_c:7.4f}s/wave vs sharded "
+              f"{results_pool[Pn]['s_per_wave']:7.4f} "
+              f"(sharding overhead {100 * ovh:+.1f}%)")
 
     # ---- gap-certification sanity (global MIPGap stop) ---------------
     prices1 = price_batch(1)[0]
