@@ -145,6 +145,24 @@ class StagewiseQP:
     # (the exact consensus prox — cf. ops/consensus_tree.py).
     n_cons: int = dataclasses.field(default=0,
                                     metadata=dict(static=True))
+    # horizon-coupled EXTRA rows  A_v·V ≤ b + Bx·x0 + Bw·W  (round 4 —
+    # the last condensed-only capability: min-up/down unit-commitment
+    # logic at long N). They are GLOBAL rows (touch many stages), so
+    # they live as their own constraint segment and the x-update's
+    # K + Aextᵀρₑ Aext solve is a rank-r BORDERED extension of the
+    # block-tridiagonal K via Woodbury: x = K⁻¹t − KiU·Cw·(Uᵀ K⁻¹ t)
+    # with KiU = K⁻¹Aextᵀ prefactored on the host (r block-tridiag
+    # solves) and Cw = (diag(1/ρₑ) + Aext K⁻¹ Aextᵀ)⁻¹ an r×r constant
+    # — O(N·b·r) extra work per iteration, O(N) memory preserved.
+    Aext: jnp.ndarray = None     # (r, N, b) coefficients on ξ
+    bext: jnp.ndarray = None     # (r,)
+    Bx_ext: jnp.ndarray = None   # (r, nx)
+    Bw_ext: jnp.ndarray = None   # (r, N·nw)
+    rho_ext: jnp.ndarray = None  # (r,)
+    KiU: jnp.ndarray = None      # (N, b, r)
+    Cw: jnp.ndarray = None       # (r, r)
+    n_ext: int = dataclasses.field(default=0,
+                                   metadata=dict(static=True))
 
     @property
     def b(self) -> int:
