@@ -12,6 +12,14 @@ process skew timings 10-20%):
     python scripts/config2_sb_ab.py config3 0
     python scripts/config2_sb_ab.py config3 200
 
+Round-4 extra arms (both certified-sound — search order / root
+convergence only, bounds and pruning unchanged):
+
+    --dt=1e-2     BnbSpec.depth_tiebreak (diving on bound plateaus)
+    --root=3200   BnbSpec.root_iters (pre-converged root relaxation)
+    --W=64        wave_size (config2 arm; tree-size vs wave-count trade)
+    --cap=8192    pool capacity (config2 arm; 2048 overflows this tree)
+
 Prints one JSON line with waves/nodes/ms to the rel_gap stop plus the
 incumbent objective and certified gap, so arms can be compared for both
 tree size AND search parity (objectives must agree to ~1e-3 rel).
@@ -30,9 +38,23 @@ if _repo not in sys.path:
 
 
 def main():
-    which = sys.argv[1] if len(sys.argv) > 1 else "config2"
-    sb = int(sys.argv[2]) if len(sys.argv) > 2 else 0
-    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    which = args[0] if args else "config2"
+    sb = int(args[1]) if len(args) > 1 else 0
+    reps = int(args[2]) if len(args) > 2 else 3
+    dt_tb = 0.0
+    root_it = 0
+    wave_w = 128
+    cap = 2048
+    for a in sys.argv[1:]:
+        if a.startswith("--dt="):
+            dt_tb = float(a[5:])
+        elif a.startswith("--root="):
+            root_it = int(a[7:])
+        elif a.startswith("--W="):
+            wave_w = int(a[4:])
+        elif a.startswith("--cap="):
+            cap = int(a[6:])
     if "--cpu" in sys.argv:
         import jax
 
@@ -61,9 +83,11 @@ def main():
         qpw, admw = cpw.device_qp(), prepare_admm_mpc(cpw)
         admw_p = prepare_admm_mpc(cpw, rho=10.0)
         rspec = prepare_repair(mpwa, pwa_weights())
-        spec = BnbSpec(capacity=2048, wave_size=128, max_waves=64,
+        spec = BnbSpec(capacity=cap, wave_size=wave_w,
+                       max_waves=64 * (128 // wave_w),
                        qp_iters=200, probe_iters=600, gap=1e-3,
-                       probe_patience=3, rel_gap=0.02, sb_iters=sb)
+                       probe_patience=3, rel_gap=0.02, sb_iters=sb,
+                       depth_tiebreak=dt_tb, root_iters=root_it)
 
         @jax.jit
         def run(x0):
@@ -91,7 +115,8 @@ def main():
         qpw, admw = c3.device_qp(), prepare_admm_mpc(c3)
         admw_p = prepare_admm_mpc(c3, rho=10.0)
         spec = BnbSpec(capacity=512, wave_size=64, max_waves=32,
-                       qp_iters=200, gap=1e-3, rel_gap=0.02, sb_iters=sb)
+                       qp_iters=200, gap=1e-3, rel_gap=0.02, sb_iters=sb,
+                       depth_tiebreak=dt_tb, root_iters=root_it)
 
         @jax.jit
         def run(x0):
@@ -113,6 +138,8 @@ def main():
     obj, bo = float(r.obj), float(r.best_open_bound)
     print(json.dumps({
         "instance": which, "sb_iters": sb,
+        "depth_tiebreak": dt_tb, "root_iters": root_it,
+        "wave_size": wave_w, "capacity": cap,
         "backend": jax.default_backend(),
         "ms": round(1e3 * best, 2), "reps": reps,
         "waves": int(r.waves), "nodes": int(r.nodes_solved),

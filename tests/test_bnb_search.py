@@ -209,6 +209,26 @@ def test_probe_gating_recovers_from_poor_seed():
     assert float(gated.obj) < seed_obj - 1.0, (float(gated.obj), seed_obj)
 
 
+def test_depth_tiebreak_preserves_optimum_and_certificates(prob):
+    """depth_tiebreak is SEARCH-ORDER only (BnbSpec.depth_tiebreak):
+    bounds, pruning, incumbents, and the certified best-open bound must
+    be unchanged in validity — the returned optimum matches the dt=0
+    run, and the exit certificate still brackets it. (Round-4 plateau
+    countermeasure: on exact bound plateaus top_k's index tie-break
+    degenerates to breadth-first; a small depth preference restores
+    diving.)"""
+    qp, admm, f, h = prob
+    base = solve_miqp_bnb(admm, qp, f, h, _base())
+    for dt in (1e-3, 1e-2):
+        dived = solve_miqp_bnb(admm, qp, f, h, _base(depth_tiebreak=dt))
+        assert bool(dived.found)
+        np.testing.assert_allclose(float(dived.obj), float(base.obj),
+                                   rtol=1e-4, atol=1e-4)
+        bo = float(dived.best_open_bound)
+        if bo < BIG * 0.99:
+            assert bo <= float(dived.obj) + 1e-4
+
+
 def test_flipdelta_branching_preserves_optimum(prob):
     qp, admm, f, h = prob
     fd = solve_miqp_bnb(admm, qp, f, h, _base(branching="flipdelta"))
