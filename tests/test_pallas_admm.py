@@ -365,3 +365,12 @@ def test_mixed_precision_kernel_parity(small_prob=None):
     np.testing.assert_allclose(np.asarray(r_mix.obj),
                                np.asarray(r_full.obj),
                                rtol=2e-3, atol=2e-3)
+    # low_frac=1.0 — the bench HEADLINE configuration (no 6-pass tail):
+    # the hi/lo-split 3-pass arithmetic alone must track the HIGHEST
+    # kernel to solver tolerance (chip sweep measured ≤9e-6 rel obj;
+    # this is the interpret-mode twin of bench.py's parity gate)
+    r_all3 = admm_solve_pallas(pq, f, h, lb, ub, iters=120,
+                               interpret=True, low_frac=1.0)
+    np.testing.assert_allclose(np.asarray(r_all3.obj),
+                               np.asarray(r_full.obj),
+                               rtol=2e-3, atol=2e-3)
