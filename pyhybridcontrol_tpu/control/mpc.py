@@ -142,18 +142,20 @@ class MpcController:
             # long-horizon path: O(N) block-tridiagonal frame. Δu/Qy
             # weights, soft stage constraints (prox form), move blocking
             # (adjacent-stage equality rows + leader-only branching),
-            # terminal sets (last-stage rows) and scenario TREES
+            # terminal sets (last-stage rows), scenario TREES
             # (consensus selector rows + group-mean prox —
-            # ops/stagewise_tree.py, round 4) all ride natively.
-            # Arbitrary horizon-coupled extra rows remain condensed-
-            # frame-only (general A_v rows break tridiagonality).
-            if self._extra is not None:
+            # ops/stagewise_tree.py, round 4) and horizon-coupled extra
+            # rows (rank-r bordered Woodbury solve —
+            # ops/stagewise.py::_solve_K_bordered, round 4) all ride
+            # natively. The one remaining unsupported composition is
+            # extra rows × scenario trees in this frame (per-scenario
+            # bordered factors under consensus splitting — use the
+            # condensed tree path).
+            if self._extra is not None and self._tree is not None:
                 raise ValueError(
-                    "solver='stagewise' supports stage-local problems "
-                    "(incl. Δu/Qy weights, soft stage rows, move "
-                    "blocking, terminal sets and scenario trees); use "
-                    "the condensed solvers for horizon-coupled extra "
-                    "rows")
+                    "solver='stagewise' does not compose horizon-"
+                    "coupled extra rows with scenario trees; use the "
+                    "condensed tree path for that combination")
             kw = dict(soft=self._soft, blocking=self._blocking,
                       terminal=self._terminal)
             if self._tree is not None:
@@ -176,11 +178,14 @@ class MpcController:
                 self._built_version = self._version
                 return self
             self._sw = prepare_stagewise(self.model, self.N, self.weights,
-                                         rho=self.rho, **kw)
-            # stiff-rho prep for dive probes (see solver/bnb.py)
+                                         rho=self.rho, extra=self._extra,
+                                         **kw)
+            # stiff-rho prep for dive probes (see solver/bnb.py);
+            # extra rows ride both preps (same bordered structure,
+            # stiff-rho Woodbury factors of its own)
             self._sw_probe = prepare_stagewise(
                 self.model, self.N, self.weights, rho=self.rho * 10.0,
-                **kw)
+                extra=self._extra, **kw)
             self._cmpc = None
             self._admm_probe = None
             self._built_version = self._version
@@ -578,9 +583,15 @@ class MpcController:
         up = (jnp.asarray(u_prev, jnp.float32)
               if u_prev is not None else None)
         q, l, u = assemble_stagewise(sw, x0, W, Pq, u_prev=up)
+        ext_u = None
+        if sw.n_ext:
+            from pyhybridcontrol_tpu.ops.stagewise import (
+                assemble_stagewise_ext)
+            ext_u = assemble_stagewise_ext(sw, jnp.asarray(x0), W)
         res = solve_miqp_bnb_stagewise(sw, q, l, u, self.bnb_spec,
                                        sw_probe=self._sw_probe,
-                                       parallel_sweeps=self.sw_parallel)
+                                       parallel_sweeps=self.sw_parallel,
+                                       ext_u=ext_u)
         xi = res.x.reshape(sw.N, sw.b)
         v_seq = xi[:, : sw.nv]
         info = self.model.info

@@ -107,6 +107,12 @@ class AdmmResult:
     #   iterations while sitting at large residuals).
     y: jnp.ndarray        # (..., m̄) dual (scaled) — for warm starts
     z: jnp.ndarray        # (..., m̄)
+    # horizon-coupled extra-row segment (stagewise bordered frame only
+    # — ops/stagewise.py StagewiseQP.n_ext). None everywhere else;
+    # both are data fields whose None collapses to an empty subtree,
+    # so existing pytree consumers are unaffected.
+    z_ext: Optional[jnp.ndarray] = None   # (..., r)
+    y_ext: Optional[jnp.ndarray] = None   # (..., r)
 
 
 def prepare_admm(G: np.ndarray, H: np.ndarray, *, rho: float = 1.0,

@@ -185,6 +185,7 @@ def prepare_stagewise(model: MldModel, N: int,
                       reg: float = 1e-8, soft=None,
                       blocking=None, block_deltas: bool = False,
                       terminal=None, consensus: int = 0,
+                      extra=None,
                       dtype=jnp.float32) -> StagewiseQP:
     """Host fp64 build: stage blocks + block-tridiagonal LU of K.
 
@@ -198,7 +199,13 @@ def prepare_stagewise(model: MldModel, N: int,
     ``terminal``: optional (E_N, f_N) terminal-set rows on x_N.
     ``consensus``: number of leading v-coordinates per stage (the
     shared-decision u/δ block) that get a consensus selector row — see
-    ``StagewiseQP.n_cons``; only ops/stagewise_tree.py sets this."""
+    ``StagewiseQP.n_cons``; only ops/stagewise_tree.py sets this.
+    ``extra``: optional horizon-coupled rows ``(A_v, b, B_x, B_w)`` in
+    the ``MpcController.set_extra_constraints`` convention —
+    A_v·V ≤ b + B_x·x0 + B_w·vec(W) with V the stacked per-stage v.
+    Handled as a rank-r BORDERED extension of K (Woodbury; see the
+    ``StagewiseQP.Aext`` field comment): O(N·b·r) extra work per ADMM
+    iteration, O(N) memory preserved."""
     w = weights or MpcWeights()
     info = model.info
     if info.nxb > 0:
@@ -418,6 +425,54 @@ def prepare_stagewise(model: MldModel, N: int,
 
     L, Uinv, C = block_lu(K_diag, K_off)
 
+    # ---- horizon-coupled extra rows: host-side Woodbury factors ----
+    nw = m.B4.shape[1]
+    n_ext = 0
+    ext_fields = dict(Aext=None, bext=None, Bx_ext=None, Bw_ext=None,
+                      rho_ext=None, KiU=None, Cw=None)
+    if extra is not None:
+        A_v, b_e = extra[0], extra[1]
+        B_x = extra[2] if len(extra) > 2 else None
+        B_w = extra[3] if len(extra) > 3 else None
+        A_v = np.atleast_2d(np.asarray(A_v, np.float64))
+        r_ext = A_v.shape[0]
+        if A_v.shape[1] != N * nv:
+            raise ValueError(
+                f"extra A_v must have N*nv={N * nv} columns (stacked "
+                f"per-stage v — the stagewise frame has no aux "
+                f"columns), got {A_v.shape[1]}")
+        bext_np = np.broadcast_to(
+            np.asarray(b_e, np.float64).reshape(-1), (r_ext,)).copy()
+        Bx_np = (np.zeros((r_ext, nx)) if B_x is None
+                 else np.asarray(B_x, np.float64).reshape(r_ext, nx))
+        Bw_np = (np.zeros((r_ext, N * nw)) if B_w is None
+                 else np.asarray(B_w, np.float64).reshape(r_ext, N * nw))
+        Aext_np = np.zeros((r_ext, N, b))
+        Aext_np[:, :, :nv] = A_v.reshape(r_ext, N, nv)
+        rho_ext_np = np.full(r_ext, rho)           # one-sided ineq rows
+        # KiU = K⁻¹ Aextᵀ via the fp64 LU sweeps (r simultaneous RHS)
+        rhs = np.transpose(Aext_np, (1, 2, 0))     # (N, b, r)
+        ys = np.zeros_like(rhs)
+        prev = np.zeros((b, r_ext))
+        for k in range(N):
+            ys[k] = rhs[k] - (L[k] @ prev if k else 0.0)
+            prev = ys[k]
+        xs = np.zeros_like(rhs)
+        nxt = np.zeros((b, r_ext))
+        for k in range(N - 1, -1, -1):
+            xs[k] = Uinv[k] @ ys[k] - (C[k] @ nxt if k < N - 1 else 0.0)
+            nxt = xs[k]
+        KiU_np = xs
+        cap = (np.diag(1.0 / rho_ext_np)
+               + np.einsum("rkb,kbs->rs", Aext_np, KiU_np))
+        Cw_np = np.linalg.inv(cap)
+        n_ext = r_ext
+        _as = lambda a: jnp.asarray(a, dtype)
+        ext_fields = dict(Aext=_as(Aext_np), bext=_as(bext_np),
+                          Bx_ext=_as(Bx_np), Bw_ext=_as(Bw_np),
+                          rho_ext=_as(rho_ext_np), KiU=_as(KiU_np),
+                          Cw=_as(Cw_np))
+
     # variable boxes
     lb_xi = np.full((N, b), -BIG)
     ub_xi = np.full((N, b), BIG)
@@ -440,7 +495,7 @@ def prepare_stagewise(model: MldModel, N: int,
         binary_idx_v=tuple(int(i) for i in np.nonzero(vb_mask)[0]),
         has_soft=bool(soft_lin.any() or soft_quad.any()),
         blk_cols=blk_cols, blk_groups=blk_groups, n_term=n_term,
-        n_cons=n_cons)
+        n_cons=n_cons, n_ext=n_ext, **ext_fields)
 
 
 # ---------------------------------------------------------------------------
@@ -592,6 +647,35 @@ def _solve_K_assoc(sw: StagewiseQP, r, factors=None):
     return jnp.moveaxis(xs, 0, -2)
 
 
+def _solve_K_bordered(sw: StagewiseQP, t, parallel_sweeps: bool = False):
+    """(K + Aextᵀ diag(ρₑ) Aext)⁻¹ t — the x-update solve when
+    horizon-coupled extra rows are present. Woodbury on top of the
+    block-tridiagonal sweeps: x = K⁻¹t − KiU·(Cw·(Aext·K⁻¹t)) with the
+    prepared fp64 factors KiU = K⁻¹Aextᵀ and Cw = (ρₑ⁻¹ + Aext K⁻¹
+    Aextᵀ)⁻¹ (``prepare_stagewise``). NOTE: assumes the PREPARED K —
+    do not combine with a ``factors`` override."""
+    base = (_solve_K_assoc if parallel_sweeps else _solve_K)(sw, t)
+    if not sw.n_ext:
+        return base
+    s = jnp.einsum("rkb,...kb->...r", sw.Aext, base,
+                   precision="highest")
+    corr = jnp.einsum("rs,...s->...r", sw.Cw, s, precision="highest")
+    return base - jnp.einsum("kbr,...r->...kb", sw.KiU, corr,
+                             precision="highest")
+
+
+def assemble_stagewise_ext(sw: StagewiseQP, x0, W=None):
+    """Per-solve upper bounds for the horizon-coupled extra rows:
+    u_ext = b + B_x·x0 + B_w·vec(W). Pass as ``ext_u`` to
+    ``stagewise_admm_solve`` / ``stagewise_dual_bound`` /
+    ``solve_miqp_bnb_stagewise``."""
+    u_ext = sw.bext + jnp.matmul(sw.Bx_ext, x0, precision="highest")
+    if W is not None and sw.Bw_ext.shape[1] > 0:
+        u_ext = u_ext + jnp.matmul(sw.Bw_ext, W.reshape(-1),
+                                   precision="highest")
+    return u_ext
+
+
 def block_lu_device(K_diag, K_off):
     """Device-side block-tridiagonal LU (the factorization twin of the
     host ``block_lu`` in ``prepare_stagewise``): a ``lax.scan`` over
@@ -623,7 +707,8 @@ def block_lu_device(K_diag, K_off):
     return L, Uinv, C
 
 
-def stagewise_dual_bound(sw: StagewiseQP, q, l, u, res: AdmmResult):
+def stagewise_dual_bound(sw: StagewiseQP, q, l, u, res: AdmmResult,
+                         ext_u=None):
     """Certified lower bound from the final iterate — the stagewise
     analogue of ops/admm.py ``admm_dual_bound`` (see there for the
     derivation, tightness argument, and why a P⁻¹-based dual function
@@ -670,6 +755,19 @@ def stagewise_dual_bound(sw: StagewiseQP, q, l, u, res: AdmmResult):
         soft = (sw.soft_lin > 0) | (sw.soft_quad > 0)
         y = jnp.where(soft, 0.0, y)
     w = q + _apply_AT(sw, y)
+    S_ext = 0.0
+    if sw.n_ext:
+        # horizon-coupled extra rows: one-sided A_e x ≤ u_e → clamp the
+        # dual ≥ 0 (and zero it on vacuous BIG rows so S stays finite);
+        # fold Aextᵀy_e into the tangent's linear term and u_e·y_e
+        # into S — the same Falk dualization as the stage rows
+        if ext_u is None:
+            raise ValueError("sw has n_ext extra rows: pass ext_u")
+        ye = jnp.maximum(res.y_ext, 0.0)
+        ye = jnp.where(ext_u < 0.9 * BIG, ye, 0.0)
+        w = w + jnp.einsum("rkb,...r->...kb", sw.Aext, ye,
+                           precision="highest")
+        S_ext = jnp.sum(ext_u * ye, axis=-1)
     grad = _apply_P(sw, xi) + w
     lbe, ube = _implied_box_stage(sw, l, u)
     tangent = jnp.sum(jnp.minimum(grad * (lbe - xi), grad * (ube - xi)),
@@ -680,7 +778,8 @@ def stagewise_dual_bound(sw: StagewiseQP, q, l, u, res: AdmmResult):
     # blk tied rows u=0 and term finite rows u=f_t (masked y zeroes the
     # BIG-bound rows, so summing u·y over [bb:] is exact)
     S = (jnp.sum(u[..., :, :nbox] * y[..., :, :nbox], axis=(-2, -1))
-         + jnp.sum(u[..., :, bb:] * y[..., :, bb:], axis=(-2, -1)))
+         + jnp.sum(u[..., :, bb:] * y[..., :, bb:], axis=(-2, -1))
+         + S_ext)
     return f0 + tangent - S
 
 
@@ -804,7 +903,8 @@ def assemble_stagewise(sw: StagewiseQP, x0, W=None, price_seq=None,
 def stagewise_admm_solve(sw: StagewiseQP, q, l, u, iters: int = 200,
                          lb_xi=None, ub_xi=None, warm=None,
                          parallel_sweeps: bool = False,
-                         consensus_z=None) -> AdmmResult:
+                         consensus_z=None, ext_u=None,
+                         warm_ext=None) -> AdmmResult:
     """Fixed-iteration ADMM in the stagewise frame. q (…,N,b), l/u
     (…,N,m_k) from ``assemble_stagewise``; optional per-node variable
     boxes lb_xi/ub_xi (…,N,b) override the box-row bounds (B&B);
@@ -817,7 +917,12 @@ def stagewise_admm_solve(sw: StagewiseQP, q, l, u, iters: int = 200,
     trailing ``sw.n_cons`` consensus rows (the scenario group-mean prox
     — ops/stagewise_tree.py); their residual then measures the
     split-variable gap |Ax − z| (the non-anticipativity residual) and
-    their dy is masked out of the infeasibility certificate."""
+    their dy is masked out of the infeasibility certificate.
+    ``ext_u``: (…, r) upper bounds for the horizon-coupled extra rows
+    (``assemble_stagewise_ext``) — REQUIRED when ``sw.n_ext > 0``; the
+    extras get their own z/y segment (returned in ``res.z_ext`` /
+    ``res.y_ext``) and the x-update runs the bordered Woodbury solve.
+    ``warm_ext``: optional (z_ext, y_ext) of a prior result."""
     if lb_xi is not None:
         nbox = sw.nx + sw.nc
         l = l.at[..., :, nbox:nbox + sw.b].set(lb_xi)
@@ -834,6 +939,23 @@ def stagewise_admm_solve(sw: StagewiseQP, q, l, u, iters: int = 200,
     else:
         x, z, y = warm
         z = jnp.clip(z, l, u)
+
+    r_ext = sw.n_ext
+    if r_ext:
+        if ext_u is None:
+            raise ValueError("sw has n_ext extra rows: pass ext_u from "
+                             "assemble_stagewise_ext")
+        rho_e = sw.rho_ext
+        if warm_ext is None:
+            z_e = jnp.minimum(jnp.zeros(batch + (r_ext,), q.dtype),
+                              ext_u)
+            y_e = jnp.zeros_like(z_e)
+        else:
+            z_e, y_e = warm_ext
+            z_e = jnp.minimum(z_e, ext_u)
+    else:
+        z_e = jnp.zeros(batch + (0,), q.dtype)
+        y_e = z_e
 
     mc = sw.m_k - sw.n_cons                           # consensus rows
 
@@ -852,21 +974,33 @@ def stagewise_admm_solve(sw: StagewiseQP, q, l, u, iters: int = 200,
                 consensus_z(s[..., :, mc:]))
         return z_hard
 
-    solve_K = _solve_K_assoc if parallel_sweeps else _solve_K
-
     def body(_, carry):
-        x, z, y, _ = carry
+        x, z, y, _, z_e, y_e, _ = carry
         w = rho * z - y
         t = sigma * x - q + _apply_AT(sw, w)
-        xt = solve_K(sw, t)
+        if r_ext:
+            w_e = rho_e * z_e - y_e
+            t = t + jnp.einsum("rkb,...r->...kb", sw.Aext, w_e,
+                               precision="highest")
+        xt = _solve_K_bordered(sw, t, parallel_sweeps)
         zt = _apply_A(sw, xt)
         zr = alpha * zt + (1.0 - alpha) * z
         z_new = z_update(zr + y / rho)
         y_new = y + rho * (zr - z_new)
-        return xt, z_new, y_new, y_new - y
+        if r_ext:
+            zt_e = jnp.einsum("rkb,...kb->...r", sw.Aext, xt,
+                              precision="highest")
+            zr_e = alpha * zt_e + (1.0 - alpha) * z_e
+            z_e_new = jnp.minimum(zr_e + y_e / rho_e, ext_u)
+            y_e_new = y_e + rho_e * (zr_e - z_e_new)
+        else:
+            z_e_new, y_e_new = z_e, y_e
+        return (xt, z_new, y_new, y_new - y,
+                z_e_new, y_e_new, y_e_new - y_e)
 
-    x, z, y, dy = jax.lax.fori_loop(0, iters, body,
-                                    (x, z, y, jnp.zeros_like(y)))
+    x, z, y, dy, z_e, y_e, dy_e = jax.lax.fori_loop(
+        0, iters, body,
+        (x, z, y, jnp.zeros_like(y), z_e, y_e, jnp.zeros_like(y_e)))
 
     Ax = _apply_A(sw, x)
     # hard rows: distance to the box; soft rows: split-variable gap
@@ -881,6 +1015,16 @@ def stagewise_admm_solve(sw: StagewiseQP, q, l, u, iters: int = 200,
     r_rel = jnp.max(viol / jnp.maximum(1.0, jnp.abs(Ax)), axis=(-2, -1))
     Px = _apply_P(sw, x)
     dual = Px + q + _apply_AT(sw, y)
+    if r_ext:
+        Ax_e = jnp.einsum("rkb,...kb->...r", sw.Aext, x,
+                          precision="highest")
+        viol_e = jnp.maximum(Ax_e - ext_u, 0.0)    # one-sided upper
+        r_prim = jnp.maximum(r_prim, jnp.max(viol_e, axis=-1))
+        r_rel = jnp.maximum(
+            r_rel, jnp.max(viol_e / jnp.maximum(1.0, jnp.abs(Ax_e)),
+                           axis=-1))
+        dual = dual + jnp.einsum("rkb,...r->...kb", sw.Aext, y_e,
+                                 precision="highest")
     r_dual = jnp.max(jnp.abs(dual), axis=(-2, -1))
     obj = (0.5 * jnp.sum(x * Px, axis=(-2, -1))
            + jnp.sum(q * x, axis=(-2, -1)))
@@ -899,7 +1043,11 @@ def stagewise_admm_solve(sw: StagewiseQP, q, l, u, iters: int = 200,
     if sw.n_cons:
         dy = dy.at[..., :, mc:].set(0.0)
     dy_norm = jnp.max(jnp.abs(dy), axis=(-2, -1))
-    Atdy = jnp.max(jnp.abs(_apply_AT(sw, dy)), axis=(-2, -1))
+    Atdy_full = _apply_AT(sw, dy)
+    if r_ext:
+        Atdy_full = Atdy_full + jnp.einsum(
+            "rkb,...r->...kb", sw.Aext, dy_e, precision="highest")
+    Atdy = jnp.max(jnp.abs(Atdy_full), axis=(-2, -1))
     fin_u = u < 0.9 * BIG
     fin_l = l > -0.9 * BIG
     dyp = jnp.maximum(dy, 0.0)
@@ -908,10 +1056,24 @@ def stagewise_admm_solve(sw: StagewiseQP, q, l, u, iters: int = 200,
                + jnp.sum(jnp.where(~fin_l, -dyn_, 0.0), axis=(-2, -1)))
     gap_term = (jnp.sum(jnp.where(fin_u, u * dyp, 0.0), axis=(-2, -1))
                 + jnp.sum(jnp.where(fin_l, l * dyn_, 0.0), axis=(-2, -1)))
+    if r_ext:
+        # extra rows are one-sided −∞ < A_e x ≤ u_e: a negative dy_e
+        # witnesses the unbounded lower side and must vanish; positive
+        # dy_e contributes u_e (finite) to the gap term
+        dy_norm = jnp.maximum(dy_norm, jnp.max(jnp.abs(dy_e), axis=-1))
+        dyp_e = jnp.maximum(dy_e, 0.0)
+        fin_ue = ext_u < 0.9 * BIG
+        support = (support
+                   + jnp.sum(-jnp.minimum(dy_e, 0.0), axis=-1)
+                   + jnp.sum(jnp.where(~fin_ue, dyp_e, 0.0), axis=-1))
+        gap_term = gap_term + jnp.sum(
+            jnp.where(fin_ue, ext_u * dyp_e, 0.0), axis=-1)
     eps_c = 1e-4
     cert = ((dy_norm > 1e-12) & (Atdy <= eps_c * dy_norm)
             & (support <= eps_c * dy_norm)
             & (gap_term <= -eps_c * dy_norm))
     return AdmmResult(x=x, obj=obj, r_prim=r_prim,
                       r_prim_rel=r_rel, r_dual=r_dual,
-                      infeas_cert=cert, y=y, z=z)
+                      infeas_cert=cert, y=y, z=z,
+                      z_ext=(z_e if r_ext else None),
+                      y_ext=(y_e if r_ext else None))

@@ -38,6 +38,10 @@ class StagewiseBackend:
 
     sw: StagewiseQP
     sw_probe: object = dataclasses.field(default=None)
+    # horizon-coupled extra-row upper bounds (assemble_stagewise_ext;
+    # node-INDEPENDENT — branching only moves binary boxes, so one
+    # per-solve vector serves every node). None when sw.n_ext == 0.
+    ext_u: object = dataclasses.field(default=None)
     parallel_sweeps: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
 
@@ -78,7 +82,9 @@ class StagewiseBackend:
 
     @property
     def warm_size(self):
-        return self.sw.N * self.sw.m_k
+        # z and y each carry the n_ext extra-row tail after the staged
+        # rows — the B&B loop treats warm vectors as opaque flats
+        return self.sw.N * self.sw.m_k + self.sw.n_ext
 
     def solve(self, f, h, lb, ub, iters, warm=None):
         sw = self.sw
@@ -86,24 +92,35 @@ class StagewiseBackend:
         q = f.reshape(batch + (sw.N, sw.b))
         l = h[..., 0, :, :]
         u = h[..., 1, :, :]
+        m_st = sw.N * sw.m_k
+        warm_ext = None
         if warm is not None:
-            warm = tuple(w.reshape(batch + (sw.N, -1)) for w in warm)
+            xw, zw, yw = warm
+            if sw.n_ext:
+                warm_ext = (zw[..., m_st:], yw[..., m_st:])
+            warm = (xw.reshape(batch + (sw.N, sw.b)),
+                    zw[..., :m_st].reshape(batch + (sw.N, sw.m_k)),
+                    yw[..., :m_st].reshape(batch + (sw.N, sw.m_k)))
         res = stagewise_admm_solve(
             sw, q, l, u, iters=iters,
             lb_xi=lb.reshape(batch + (sw.N, sw.b)),
             ub_xi=ub.reshape(batch + (sw.N, sw.b)),
-            warm=warm, parallel_sweeps=self.parallel_sweeps)
+            warm=warm, parallel_sweeps=self.parallel_sweeps,
+            ext_u=self.ext_u, warm_ext=warm_ext)
+        z_flat = res.z.reshape(batch + (m_st,))
+        y_flat = res.y.reshape(batch + (m_st,))
+        if sw.n_ext:
+            z_flat = jnp.concatenate([z_flat, res.z_ext], axis=-1)
+            y_flat = jnp.concatenate([y_flat, res.y_ext], axis=-1)
         return dataclasses.replace(
-            res,
-            x=res.x.reshape(batch + (self.n,)),
-            z=res.z.reshape(batch + (self.warm_size,)),
-            y=res.y.reshape(batch + (self.warm_size,)))
+            res, x=res.x.reshape(batch + (self.n,)),
+            z=z_flat, y=y_flat, z_ext=None, y_ext=None)
 
     def solve_probe(self, f, h, lb, ub, iters, warm=None):
         if self.sw_probe is None:
             return self.solve(f, h, lb, ub, iters, warm=warm)
         return StagewiseBackend(
-            self.sw_probe,
+            self.sw_probe, ext_u=self.ext_u,
             parallel_sweeps=self.parallel_sweeps).solve(f, h, lb, ub,
                                                         iters, warm=warm)
 
@@ -118,12 +135,15 @@ class StagewiseBackend:
         nbox = sw.nx + sw.nc
         l = l.at[..., :, nbox:nbox + sw.b].set(lb_xi)
         u = u.at[..., :, nbox:nbox + sw.b].set(ub_xi)
+        m_st = sw.N * sw.m_k
         res = dataclasses.replace(
             res,
             x=res.x.reshape(batch + (sw.N, sw.b)),
-            y=res.y.reshape(batch + (sw.N, sw.m_k)),
-            z=res.z.reshape(batch + (sw.N, sw.m_k)))
-        return stagewise_dual_bound(sw, q, l, u, res)
+            y=res.y[..., :m_st].reshape(batch + (sw.N, sw.m_k)),
+            z=res.z[..., :m_st].reshape(batch + (sw.N, sw.m_k)),
+            y_ext=(res.y[..., m_st:] if sw.n_ext else None),
+            z_ext=(res.z[..., m_st:] if sw.n_ext else None))
+        return stagewise_dual_bound(sw, q, l, u, res, ext_u=self.ext_u)
 
     def broadcast_data(self, f, h, W):
         return (jnp.broadcast_to(f, (W,) + f.shape),
@@ -141,14 +161,19 @@ def solve_miqp_bnb_stagewise(sw: StagewiseQP, q, l, u,
                              spec: BnbSpec = BnbSpec(),
                              init_incumbent=None,
                              sw_probe=None,
-                             parallel_sweeps: bool = False) -> BnbResult:
+                             parallel_sweeps: bool = False,
+                             ext_u=None) -> BnbResult:
     """B&B over the stagewise frame. (q, l, u) from
     ``assemble_stagewise(sw, x0, W, prices)``. Returns BnbResult with
     ``x`` the flat ξ (reshape to (N, b); v_k = ξ_k[:nv]).
     ``sw_probe``: optional stiff-ρ StagewiseQP for dive probes.
     ``parallel_sweeps``: log-depth associative-scan K sweeps (long
-    horizons / horizon-sharded meshes; ops/stagewise._solve_K_assoc)."""
+    horizons / horizon-sharded meshes; ops/stagewise._solve_K_assoc).
+    ``ext_u``: horizon-coupled extra-row bounds
+    (``assemble_stagewise_ext``) — required when ``sw.n_ext > 0``;
+    node-independent, so relaxations, probes and Falk bounds all close
+    over the same vector."""
     f, h = pack_stagewise_data(q, l, u)
-    return _bnb_loop(StagewiseBackend(sw, sw_probe,
+    return _bnb_loop(StagewiseBackend(sw, sw_probe, ext_u=ext_u,
                                       parallel_sweeps=parallel_sweeps),
                      f, h, spec, init_incumbent=init_incumbent)

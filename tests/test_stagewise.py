@@ -510,3 +510,117 @@ def test_stagewise_terminal_miqp_parity():
     Ja = _true_plan_cost(model, w, x0, np.asarray(a.v_seq))
     Jb = _true_plan_cost(model, w, x0, np.asarray(b.v_seq))
     np.testing.assert_allclose(Ja, Jb, rtol=2e-3, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# horizon-coupled extra rows (round 4: rank-r bordered Woodbury solve)
+# ---------------------------------------------------------------------------
+
+
+def _budget_row(N, nv, cap):
+    """Sum over stages of the first input coordinate <= cap."""
+    A_v = np.zeros((1, N * nv))
+    A_v[0, 0::nv] = 1.0
+    return A_v, np.array([cap])
+
+
+def test_stagewise_extra_rows_qp_parity():
+    """Relaxed QP with a BINDING input-budget row: the bordered
+    Woodbury x-update (ops/stagewise.py::_solve_K_bordered) reproduces
+    the fp64 oracle on the condensed frame (objective at the oracle
+    point; frames differ by an x0-dependent constant), the budget
+    binds exactly, and the Falk dual bound stays valid."""
+    from pyhybridcontrol_tpu.ops.stagewise import (
+        assemble_stagewise_ext, stagewise_dual_bound)
+
+    model = switched_double_integrator()
+    w = default_weights()
+    N = 8
+    A_v, b_e = _budget_row(N, model.info.nv, -1.2)
+    x0 = np.array([2.0, 0.0])
+
+    c = CondensedMpc(model, N, w).with_extra_constraints(A_v, b_e)
+    fo, ho = c.assemble_np(x0)
+    oracle = solve_qp_oracle(c.H, fo, c.G, ho, c.lb, c.ub)
+    assert oracle.status == "optimal"
+
+    sw = prepare_stagewise(model, N, w, extra=(A_v, b_e))
+    assert sw.n_ext == 1
+    q, l, u = assemble_stagewise(sw, jnp.asarray(x0, jnp.float32))
+    ue = assemble_stagewise_ext(sw, jnp.asarray(x0, jnp.float32))
+    res = stagewise_admm_solve(sw, q, l, u, iters=4000, ext_u=ue)
+    assert float(res.r_prim_rel) < 1e-3
+
+    xi_o = _oracle_point_to_xi(c, oracle.x, x0, N, model.info.nx)
+    want = _stagewise_obj_at(sw, q, xi_o)
+    np.testing.assert_allclose(float(res.obj), want, rtol=5e-3,
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(res.x)[:, 0].sum(), -1.2,
+                               atol=2e-3)                # row binds
+    bound = stagewise_dual_bound(sw, q, l, u, res, ext_u=ue)
+    assert float(bound) <= float(res.obj) + 1e-3         # valid bound
+    # the bordered solve composes with the associative parallel sweeps
+    res_p = stagewise_admm_solve(sw, q, l, u, iters=4000, ext_u=ue,
+                                 parallel_sweeps=True)
+    np.testing.assert_allclose(float(res_p.obj), float(res.obj),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_stagewise_extra_rows_miqp_parity():
+    """MIQP with the budget row through the controller: stagewise B&B
+    (cold extra-row duals per node, bordered probes) matches the fp64
+    enumeration oracle on the condensed frame; an impossible budget
+    returns found=False."""
+    from pyhybridcontrol_tpu.control.mpc import MpcController
+    from pyhybridcontrol_tpu.solver.oracle import (
+        solve_miqp_enumeration_oracle)
+
+    model = switched_double_integrator()
+    w = default_weights()
+    N = 6
+    A_v, b_e = _budget_row(N, model.info.nv, -1.0)
+    x0 = np.array([2.0, 0.0])
+
+    c = CondensedMpc(model, N, w).with_extra_constraints(A_v, b_e)
+    fo, ho = c.assemble_np(x0)
+    oracle = solve_miqp_enumeration_oracle(c.H, fo, c.G, ho, c.lb,
+                                           c.ub, c.binary_idx)
+    assert oracle.status == "optimal"
+
+    ctrl = (MpcController(model, N, w, solver="stagewise")
+            .set_extra_constraints(A_v, b_e).build())
+    out = ctrl.feedback(jnp.asarray(x0, jnp.float32))
+    assert bool(out.found)
+    sw = ctrl._sw
+    q, _, _ = assemble_stagewise(sw, jnp.asarray(x0, jnp.float32))
+    xi_o = _oracle_point_to_xi(c, oracle.x, x0, N, model.info.nx)
+    want = _stagewise_obj_at(sw, q, xi_o)
+    np.testing.assert_allclose(float(out.obj), want, rtol=5e-3,
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(out.v_seq)[:, 0].sum(), -1.0,
+                               atol=2e-3)
+
+    ctrl2 = (MpcController(model, N, w, solver="stagewise")
+             .set_extra_constraints(A_v, np.array([-1e3])).build())
+    out2 = ctrl2.feedback(jnp.asarray(x0, jnp.float32))
+    assert not bool(out2.found)
+
+
+def test_stagewise_extra_rows_tree_refused():
+    """extra rows x scenario trees stays a loud refusal in the
+    stagewise frame (per-scenario bordered factors under consensus
+    splitting are unimplemented; the condensed tree path covers it)."""
+    from pyhybridcontrol_tpu.control.mpc import MpcController
+    from pyhybridcontrol_tpu.ops.scenario_tree import ScenarioTree
+
+    model = switched_double_integrator()
+    N = 4
+    A_v, b_e = _budget_row(N, model.info.nv, -0.5)
+    paths = np.zeros((2, N, model.info.nomega))
+    tree = ScenarioTree.from_branching(paths, branch_steps=(1,))
+    ctrl = (MpcController(model, N, default_weights(),
+                          solver="stagewise")
+            .set_extra_constraints(A_v, b_e))
+    ctrl.set_scenario_tree(tree)
+    with pytest.raises(ValueError, match="extra rows"):
+        ctrl.build()
