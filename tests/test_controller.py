@@ -102,17 +102,17 @@ def test_stagewise_solver_option():
     assert bool(sol.found)
     assert sol.v_seq.shape == (40, model.info.nv)
     assert sol.x_seq.shape == (40, model.info.nx)
-    # blocking/terminal ride natively since round 3
-    # (tests/test_stagewise.py has the parity coverage); only horizon-
-    # coupled extra rows and scenario trees stay condensed-frame-only
+    # blocking/terminal ride natively since round 3, horizon-coupled
+    # extra rows since round 4 (tests/test_stagewise.py has the parity
+    # coverage); the remaining refusal is extra rows x scenario trees
     ctrl2 = MpcController(model, 10, default_weights(), solver="stagewise")
     ctrl2.set_move_blocking([k // 2 for k in range(10)])
     ctrl2.build()
     ctrl3 = MpcController(model, 10, default_weights(), solver="stagewise")
     ctrl3.set_extra_constraints(np.zeros((1, 10 * model.info.nv)),
                                 np.ones(1))
-    with pytest.raises(ValueError):
-        ctrl3.build()
+    ctrl3.build()                     # builds: bordered Woodbury path
+    assert ctrl3._sw.n_ext == 1
 
 
 def test_feedback_batch_matches_single():
