@@ -624,3 +624,40 @@ def test_stagewise_extra_rows_tree_refused():
     ctrl.set_scenario_tree(tree)
     with pytest.raises(ValueError, match="extra rows"):
         ctrl.build()
+
+
+def test_stagewise_extra_rows_long_horizon_qp():
+    """The bordered Woodbury path at long N (the regime the stagewise
+    frame exists for): N=40 relaxed QP with two coupled budget rows
+    matches the fp64 oracle, and the prefactored KiU/Cw keep the
+    per-iteration cost O(N·b·r) (no dense N·b matrices anywhere)."""
+    from pyhybridcontrol_tpu.ops.stagewise import (
+        assemble_stagewise_ext, stagewise_dual_bound)
+
+    model = switched_double_integrator()
+    w = default_weights()
+    N = 40
+    nv = model.info.nv
+    A_v = np.zeros((2, N * nv))
+    A_v[0, 0::nv] = 1.0                   # total input budget
+    A_v[1, (N // 2) * nv::nv] = 1.0       # second-half budget
+    b_e = np.array([-2.0, -0.4])
+    x0 = np.array([2.0, 0.0])
+
+    c = CondensedMpc(model, N, w).with_extra_constraints(A_v, b_e)
+    fo, ho = c.assemble_np(x0)
+    oracle = solve_qp_oracle(c.H, fo, c.G, ho, c.lb, c.ub)
+    assert oracle.status == "optimal"
+
+    sw = prepare_stagewise(model, N, w, extra=(A_v, b_e))
+    assert sw.n_ext == 2 and sw.KiU.shape == (N, sw.b, 2)
+    q, l, u = assemble_stagewise(sw, jnp.asarray(x0, jnp.float32))
+    ue = assemble_stagewise_ext(sw, jnp.asarray(x0, jnp.float32))
+    res = stagewise_admm_solve(sw, q, l, u, iters=6000, ext_u=ue)
+    assert float(res.r_prim_rel) < 1e-3
+    xi_o = _oracle_point_to_xi(c, oracle.x, x0, N, model.info.nx)
+    want = _stagewise_obj_at(sw, q, xi_o)
+    np.testing.assert_allclose(float(res.obj), want, rtol=5e-3,
+                               atol=5e-3)
+    bound = stagewise_dual_bound(sw, q, l, u, res, ext_u=ue)
+    assert float(bound) <= float(res.obj) + 1e-3
