@@ -118,8 +118,9 @@ class MpcController:
         With ``solver='stagewise'`` the tree rides the O(N) block-
         tridiagonal frame instead (ops/stagewise_tree.py — always the
         consensus formulation; ``consensus`` is ignored): long-horizon
-        tree MPC, composing natively with soft rows, move blocking and
-        terminal sets."""
+        tree MPC, composing natively with soft rows, move blocking,
+        terminal sets and horizon-coupled extra rows (applied PER
+        SCENARIO — the budget must hold on every tree path)."""
         g0 = np.asarray(tree.groups)[:, 0]
         if not np.all(g0 == g0[0]):
             raise ValueError(
@@ -147,17 +148,12 @@ class MpcController:
             # ops/stagewise_tree.py, round 4) and horizon-coupled extra
             # rows (rank-r bordered Woodbury solve —
             # ops/stagewise.py::_solve_K_bordered, round 4) all ride
-            # natively. The one remaining unsupported composition is
-            # extra rows × scenario trees in this frame (per-scenario
-            # bordered factors under consensus splitting — use the
-            # condensed tree path).
-            if self._extra is not None and self._tree is not None:
-                raise ValueError(
-                    "solver='stagewise' does not compose horizon-"
-                    "coupled extra rows with scenario trees; use the "
-                    "condensed tree path for that combination")
+            # natively — including extra rows × trees (per-SCENARIO
+            # row semantics: the budget must hold on every tree path,
+            # matching the condensed joint frame's block-replicated
+            # rows; the shared bordered factors batch over scenarios).
             kw = dict(soft=self._soft, blocking=self._blocking,
-                      terminal=self._terminal)
+                      terminal=self._terminal, extra=self._extra)
             if self._tree is not None:
                 from pyhybridcontrol_tpu.ops.stagewise_tree import (
                     prepare_stagewise_tree)
@@ -178,14 +174,13 @@ class MpcController:
                 self._built_version = self._version
                 return self
             self._sw = prepare_stagewise(self.model, self.N, self.weights,
-                                         rho=self.rho, extra=self._extra,
-                                         **kw)
+                                         rho=self.rho, **kw)
             # stiff-rho prep for dive probes (see solver/bnb.py);
             # extra rows ride both preps (same bordered structure,
             # stiff-rho Woodbury factors of its own)
             self._sw_probe = prepare_stagewise(
                 self.model, self.N, self.weights, rho=self.rho * 10.0,
-                extra=self._extra, **kw)
+                **kw)
             self._cmpc = None
             self._admm_probe = None
             self._built_version = self._version
@@ -550,10 +545,15 @@ class MpcController:
               if u_prev is not None else None)
         q, l, u = assemble_stagewise_tree(swt, x0, price_seq=Pq,
                                           u_prev=up)
+        ext_u = None
+        if swt.sw.n_ext:
+            from pyhybridcontrol_tpu.ops.stagewise_tree import (
+                assemble_stagewise_tree_ext)
+            ext_u = assemble_stagewise_tree_ext(swt, jnp.asarray(x0))
         res = solve_tree_miqp_stagewise(
             swt, q, l, u, self.bnb_spec, swt_probe=self._swt_probe,
             parallel_sweeps=self.sw_parallel,
-            scen_mesh=self._scen_mesh)
+            scen_mesh=self._scen_mesh, ext_u=ext_u)
         info = self.model.info
         sw = swt.sw
         xi = res.x.reshape(swt.S, sw.N, sw.b)

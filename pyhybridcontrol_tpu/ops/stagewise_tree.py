@@ -151,6 +151,17 @@ def assemble_stagewise_tree(swt: StagewiseTreeQP, x0, price_seq=None,
     return jax.vmap(one)(swt.omega)
 
 
+def assemble_stagewise_tree_ext(swt: StagewiseTreeQP, x0):
+    """Per-scenario extra-row bounds (S, r): scenario s's budget sees
+    its own tree path ω_s (u_ext = b + B_x·x0 + B_w·vec(ω_s)) — the
+    row must hold in EVERY scenario (per-scenario semantics, matching
+    the condensed joint frame's block-replicated rows)."""
+    from pyhybridcontrol_tpu.ops.stagewise import assemble_stagewise_ext
+
+    return jax.vmap(
+        lambda W: assemble_stagewise_ext(swt.sw, x0, W))(swt.omega)
+
+
 def _group_mean(swt: StagewiseTreeQP, scen_mesh=None):
     """Consensus prox closure for ``stagewise_admm_solve``: p-weighted
     group mean over the scenario axis (dim −3 of the (…,S,N,n_cons)
@@ -179,7 +190,8 @@ def _group_mean(swt: StagewiseTreeQP, scen_mesh=None):
 def stagewise_tree_admm_solve(swt: StagewiseTreeQP, q, l, u,
                               iters: int = 200, lb_xi=None, ub_xi=None,
                               warm=None, parallel_sweeps: bool = False,
-                              scen_mesh=None) -> AdmmResult:
+                              scen_mesh=None, ext_u=None,
+                              warm_ext=None) -> AdmmResult:
     """Consensus ADMM over (…, S, N, •) stagewise data. Returns a
     per-PROBLEM AdmmResult: x keeps the scenario axis (…, S, N, b),
     obj = Σ_s p_s J_s, residuals are maxima over scenarios (consensus
@@ -190,7 +202,8 @@ def stagewise_tree_admm_solve(swt: StagewiseTreeQP, q, l, u,
     res = stagewise_admm_solve(
         swt.sw, q, l, u, iters=iters, lb_xi=lb_xi, ub_xi=ub_xi,
         warm=warm, parallel_sweeps=parallel_sweeps,
-        consensus_z=_group_mean(swt, scen_mesh))
+        consensus_z=_group_mean(swt, scen_mesh),
+        ext_u=ext_u, warm_ext=warm_ext)
     return dataclasses.replace(
         res,
         obj=jnp.sum(swt.probs * res.obj, axis=-1),
@@ -210,6 +223,9 @@ class StagewiseTreeBackend:
 
     swt: StagewiseTreeQP
     swt_probe: object = dataclasses.field(default=None)
+    # per-scenario extra-row bounds (S, r) — assemble_stagewise_tree_ext;
+    # node-independent. None when sw.n_ext == 0.
+    ext_u: object = dataclasses.field(default=None)
     parallel_sweeps: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
     scen_mesh: object = dataclasses.field(
@@ -235,8 +251,9 @@ class StagewiseTreeBackend:
 
     @property
     def warm_size(self):
+        # z and y each append the flattened (S·n_ext) extra-row tail
         sw = self.swt.sw
-        return self.swt.S * sw.N * sw.m_k
+        return self.swt.S * (sw.N * sw.m_k + sw.n_ext)
 
     def _shapes(self, f, h, lb, ub, warm):
         swt, sw = self.swt, self.swt.sw
@@ -248,28 +265,46 @@ class StagewiseTreeBackend:
         q = f.reshape(batch + (S, N, b_))
         l = h[..., 0, :, :, :]
         u = h[..., 1, :, :, :]
+        warm_ext = None
         if warm is not None:
-            warm = tuple(w.reshape(batch + (S, N, -1)) for w in warm)
-        return q, l, u, lb, ub, warm, batch
+            m_st = S * N * sw.m_k
+            xw, zw, yw = warm
+            if sw.n_ext:
+                warm_ext = (
+                    zw[..., m_st:].reshape(batch + (S, sw.n_ext)),
+                    yw[..., m_st:].reshape(batch + (S, sw.n_ext)))
+            warm = (xw.reshape(batch + (S, N, b_)),
+                    zw[..., :m_st].reshape(batch + (S, N, sw.m_k)),
+                    yw[..., :m_st].reshape(batch + (S, N, sw.m_k)))
+        return q, l, u, lb, ub, warm, warm_ext, batch
 
     def solve(self, f, h, lb, ub, iters, warm=None):
-        q, l, u, lb_xi, ub_xi, warm, batch = self._shapes(
+        sw = self.swt.sw
+        q, l, u, lb_xi, ub_xi, warm, warm_ext, batch = self._shapes(
             f, h, lb, ub, warm)
         res = stagewise_tree_admm_solve(
             self.swt, q, l, u, iters=iters, lb_xi=lb_xi, ub_xi=ub_xi,
             warm=warm, parallel_sweeps=self.parallel_sweeps,
-            scen_mesh=self.scen_mesh)
+            scen_mesh=self.scen_mesh, ext_u=self.ext_u,
+            warm_ext=warm_ext)
+        m_st = self.swt.S * sw.N * sw.m_k
+        z_flat = res.z.reshape(batch + (m_st,))
+        y_flat = res.y.reshape(batch + (m_st,))
+        if sw.n_ext:
+            z_flat = jnp.concatenate(
+                [z_flat, res.z_ext.reshape(batch + (-1,))], axis=-1)
+            y_flat = jnp.concatenate(
+                [y_flat, res.y_ext.reshape(batch + (-1,))], axis=-1)
         return dataclasses.replace(
-            res,
-            x=res.x.reshape(batch + (self.n,)),
-            z=res.z.reshape(batch + (self.warm_size,)),
-            y=res.y.reshape(batch + (self.warm_size,)))
+            res, x=res.x.reshape(batch + (self.n,)),
+            z=z_flat, y=y_flat, z_ext=None, y_ext=None)
 
     def solve_probe(self, f, h, lb, ub, iters, warm=None):
         if self.swt_probe is None:
             return self.solve(f, h, lb, ub, iters, warm=warm)
         return StagewiseTreeBackend(
-            self.swt_probe, parallel_sweeps=self.parallel_sweeps,
+            self.swt_probe, ext_u=self.ext_u,
+            parallel_sweeps=self.parallel_sweeps,
             scen_mesh=self.scen_mesh).solve(f, h, lb, ub, iters,
                                             warm=warm)
 
@@ -278,17 +313,23 @@ class StagewiseTreeBackend:
         dropping the consensus coupling (whose duals the stagewise
         bound zeroes) is a relaxation of the tree node."""
         swt, sw = self.swt, self.swt.sw
-        q, l, u, lb_xi, ub_xi, _, batch = self._shapes(
+        q, l, u, lb_xi, ub_xi, _, _, batch = self._shapes(
             f, h, lb, ub, None)
         nbox = sw.nx + sw.nc
         l = l.at[..., :, nbox:nbox + sw.b].set(lb_xi)
         u = u.at[..., :, nbox:nbox + sw.b].set(ub_xi)
+        m_st = swt.S * sw.N * sw.m_k
         res = dataclasses.replace(
             res,
             x=res.x.reshape(batch + (swt.S, sw.N, sw.b)),
-            y=res.y.reshape(batch + (swt.S, sw.N, sw.m_k)),
-            z=res.z.reshape(batch + (swt.S, sw.N, sw.m_k)))
-        bnd = stagewise_dual_bound(sw, q, l, u, res)   # (…, S)
+            y=res.y[..., :m_st].reshape(batch + (swt.S, sw.N, sw.m_k)),
+            z=res.z[..., :m_st].reshape(batch + (swt.S, sw.N, sw.m_k)),
+            y_ext=(res.y[..., m_st:].reshape(
+                batch + (swt.S, sw.n_ext)) if sw.n_ext else None),
+            z_ext=(res.z[..., m_st:].reshape(
+                batch + (swt.S, sw.n_ext)) if sw.n_ext else None))
+        bnd = stagewise_dual_bound(sw, q, l, u, res,
+                                   ext_u=self.ext_u)   # (…, S)
         return jnp.sum(swt.probs * bnd, axis=-1)
 
     def broadcast_data(self, f, h, W):
@@ -307,7 +348,7 @@ def solve_tree_miqp_stagewise(swt: StagewiseTreeQP, q, l, u,
                               spec: BnbSpec = BnbSpec(),
                               init_incumbent=None, swt_probe=None,
                               parallel_sweeps: bool = False,
-                              scen_mesh=None) -> BnbResult:
+                              scen_mesh=None, ext_u=None) -> BnbResult:
     """B&B over the stagewise consensus-tree MIQP. (q, l, u) from
     ``assemble_stagewise_tree``. Returns BnbResult with ``x`` the flat
     (S·N·b) joint plan (reshape to (S, N, b); v_k = ξ_k[:nv]).
@@ -315,10 +356,13 @@ def solve_tree_miqp_stagewise(swt: StagewiseTreeQP, q, l, u,
     leaves are the implied-equality case — solver/bnb.py).
     ``scen_mesh``: optional (Mesh, axis_name) sharding the scenario
     axis of node batches; ``parallel_sweeps``: log-depth K sweeps for
-    very long horizons (ops/stagewise._solve_K_assoc)."""
+    very long horizons (ops/stagewise._solve_K_assoc).
+    ``ext_u``: per-scenario extra-row bounds (S, r)
+    (``assemble_stagewise_tree_ext``) — required when the prep carries
+    horizon-coupled extra rows (``prepare_stagewise_tree(extra=…)``)."""
     f, h = pack_stagewise_tree_data(q, l, u)
     return _bnb_loop(
-        StagewiseTreeBackend(swt, swt_probe,
+        StagewiseTreeBackend(swt, swt_probe, ext_u=ext_u,
                              parallel_sweeps=parallel_sweeps,
                              scen_mesh=scen_mesh),
         f, h, spec, init_incumbent=init_incumbent)

@@ -103,8 +103,8 @@ def test_stagewise_solver_option():
     assert sol.v_seq.shape == (40, model.info.nv)
     assert sol.x_seq.shape == (40, model.info.nx)
     # blocking/terminal ride natively since round 3, horizon-coupled
-    # extra rows since round 4 (tests/test_stagewise.py has the parity
-    # coverage); the remaining refusal is extra rows x scenario trees
+    # extra rows (incl. x trees) since round 4 — parity coverage in
+    # tests/test_stagewise.py and tests/test_stagewise_tree.py
     ctrl2 = MpcController(model, 10, default_weights(), solver="stagewise")
     ctrl2.set_move_blocking([k // 2 for k in range(10)])
     ctrl2.build()

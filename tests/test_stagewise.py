@@ -606,24 +606,9 @@ def test_stagewise_extra_rows_miqp_parity():
     assert not bool(out2.found)
 
 
-def test_stagewise_extra_rows_tree_refused():
-    """extra rows x scenario trees stays a loud refusal in the
-    stagewise frame (per-scenario bordered factors under consensus
-    splitting are unimplemented; the condensed tree path covers it)."""
-    from pyhybridcontrol_tpu.control.mpc import MpcController
-    from pyhybridcontrol_tpu.ops.scenario_tree import ScenarioTree
-
-    model = switched_double_integrator()
-    N = 4
-    A_v, b_e = _budget_row(N, model.info.nv, -0.5)
-    paths = np.zeros((2, N, model.info.nomega))
-    tree = ScenarioTree.from_branching(paths, branch_steps=(1,))
-    ctrl = (MpcController(model, N, default_weights(),
-                          solver="stagewise")
-            .set_extra_constraints(A_v, b_e))
-    ctrl.set_scenario_tree(tree)
-    with pytest.raises(ValueError, match="extra rows"):
-        ctrl.build()
+# extra rows x scenario trees: covered in tests/test_stagewise_tree.py
+# (test_tree_extra_rows_matches_joint_oracle — per-scenario row
+# semantics, shared bordered factors batched over the scenario axis)
 
 
 def test_stagewise_extra_rows_long_horizon_qp():
