@@ -86,7 +86,11 @@ def prepare_stagewise_tree(model: MldModel, tree: ScenarioTree,
                            block_deltas: bool = False, terminal=None,
                            **kw) -> StagewiseTreeQP:
     """Host build. ``tree.N`` sets the horizon; stage-local extras
-    (soft/blocking/terminal) compose — see module docstring."""
+    (soft/blocking/terminal) compose — see module docstring. Horizon-
+    coupled extra rows pass through ``extra=(A_v, b, B_x, B_w)`` (via
+    ``**kw``) with PER-SCENARIO semantics: the same bordered factors
+    serve every scenario, and ``assemble_stagewise_tree_ext`` builds
+    each scenario's bounds from its own ω path."""
     info = model.info
     N = tree.N
     nud = info.nu + info.ndelta
