@@ -670,7 +670,17 @@ def assemble_stagewise_ext(sw: StagewiseQP, x0, W=None):
     ``stagewise_admm_solve`` / ``stagewise_dual_bound`` /
     ``solve_miqp_bnb_stagewise``."""
     u_ext = sw.bext + jnp.matmul(sw.Bx_ext, x0, precision="highest")
-    if W is not None and sw.Bw_ext.shape[1] > 0:
+    if W is None:
+        # ADVICE r4: silently treating W=0 when the extra rows DO
+        # depend on the disturbance would hand back wrong bounds —
+        # refuse loudly (a genuinely disturbance-free B_w is all-zero
+        # columns or zero-width, both fine to skip).
+        if sw.Bw_ext.shape[1] > 0 and bool(np.any(np.asarray(sw.Bw_ext))):
+            raise ValueError(
+                "assemble_stagewise_ext: Bw_ext has nonzero entries "
+                "(disturbance-dependent extra rows) but no omega "
+                "forecast W was passed — supply W explicitly")
+    elif sw.Bw_ext.shape[1] > 0:
         u_ext = u_ext + jnp.matmul(sw.Bw_ext, W.reshape(-1),
                                    precision="highest")
     return u_ext

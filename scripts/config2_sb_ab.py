@@ -84,7 +84,10 @@ def main():
         admw_p = prepare_admm_mpc(cpw, rho=10.0)
         rspec = prepare_repair(mpwa, pwa_weights())
         spec = BnbSpec(capacity=cap, wave_size=wave_w,
-                       max_waves=64 * (128 // wave_w),
+                       # equal node budget across arms: ceil keeps at
+                       # least one wave even when --W > 128 (ADVICE r4:
+                       # 64*(128//W) truncates to 0 there)
+                       max_waves=max(1, -(-64 * 128 // wave_w)),
                        qp_iters=200, probe_iters=600, gap=1e-3,
                        probe_patience=3, rel_gap=0.02, sb_iters=sb,
                        depth_tiebreak=dt_tb, root_iters=root_it)
