@@ -80,6 +80,20 @@ class BoxQP:
     # testability of the kernel-in-while_loop path).
     pallas_mode: str = dataclasses.field(
         default="", metadata=dict(static=True))
+    # Certificate arithmetic: True → the Falk dual bound and the
+    # primal-infeasibility certificate evaluate their REDUCTIONS with
+    # double-float compensated sums (utils/dd.py — fp64-grade on a TPU
+    # that has no fp64). The matmuls stay fp32 ``precision`` (CLAUDE.md
+    # mandates "highest" for solver dots); it is the tangent/support/gap
+    # sums whose terms cancel (1e2-scale terms certifying 1e-3-scale
+    # bounds) that fp32 summation gets wrong — measured shipping
+    # 3.7%-worse incumbents when certs drove strong-branching fixing on
+    # chip (docs/PERFORMANCE.md round-4 negative result; VERDICT r4
+    # item 2). Off by default: dd costs ~10 elementwise ops per term and
+    # perturbs golden node counts; certificate-driven features
+    # (BnbSpec.sb_fix) should run on dd_cert preps.
+    dd_cert: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
 
     @property
     def n(self) -> int:
@@ -122,7 +136,8 @@ def prepare_admm(G: np.ndarray, H: np.ndarray, *, rho: float = 1.0,
                  boost_rows=None, boost_scale: float = 30.0,
                  eq_rows=None,
                  dtype=jnp.float32, precision: str = "highest",
-                 pallas_mode: Optional[str] = None) -> BoxQP:
+                 pallas_mode: Optional[str] = None,
+                 dd_cert: bool = False) -> BoxQP:
     """Host-side (float64) preparation: Ruiz equilibration + K⁻¹.
 
     ``binary_idx``: box rows of those variables get ρ·rho_eq_scale (they
@@ -174,7 +189,7 @@ def prepare_admm(G: np.ndarray, H: np.ndarray, *, rho: float = 1.0,
         cost_scale=jnp.asarray(c, dtype),
         rho_vec=jnp.asarray(rho_vec, dtype),
         rho=float(rho), sigma=float(sigma), alpha=float(alpha), m_ineq=m,
-        precision=precision, pallas_mode=pallas_mode,
+        precision=precision, pallas_mode=pallas_mode, dd_cert=dd_cert,
     )
 
 
@@ -267,10 +282,27 @@ def admm_solve(spec: BoxQP, q, h, lb, ub, iters: int = 100,
     fin_l = l > -0.9 * BIG
     dyp = jnp.maximum(dy, 0.0)
     dyn_ = jnp.minimum(dy, 0.0)
-    support = (jnp.sum(jnp.where(~fin_u, dyp, 0.0), axis=-1)
-               + jnp.sum(jnp.where(~fin_l, -dyn_, 0.0), axis=-1))
-    gap_term = (jnp.sum(jnp.where(fin_u, u * dyp, 0.0), axis=-1)
-                + jnp.sum(jnp.where(fin_l, l * dyn_, 0.0), axis=-1))
+    if spec.dd_cert:
+        # compensated support/gap sums (see BoxQP.dd_cert): the gap sum
+        # cancels big-M-scale u·δy terms down to an eps_c·|δy| decision
+        # margin — exactly the shape plain fp32 summation corrupts.
+        # (A̅ᵀδy stays a precision-"highest" matmul: its test threshold
+        # eps_c·‖δy‖ is ~5e3× the fp32 dot's rounding envelope here.)
+        from pyhybridcontrol_tpu.utils.dd import dd_dot, dd_sum
+
+        support = dd_sum(jnp.where(~fin_u, dyp, 0.0)
+                         + jnp.where(~fin_l, -dyn_, 0.0), axis=-1)
+        # per row at most one of [δy]₊/[δy]₋ is nonzero, so the bound
+        # coefficient is u (δy>0) or l (δy<0) and Dot2 gets the exact
+        # per-term product error too
+        coef = jnp.where(dy > 0.0, jnp.where(fin_u, u, 0.0),
+                         jnp.where(fin_l, l, 0.0))
+        gap_term = dd_dot(coef, dy, axis=-1)
+    else:
+        support = (jnp.sum(jnp.where(~fin_u, dyp, 0.0), axis=-1)
+                   + jnp.sum(jnp.where(~fin_l, -dyn_, 0.0), axis=-1))
+        gap_term = (jnp.sum(jnp.where(fin_u, u * dyp, 0.0), axis=-1)
+                    + jnp.sum(jnp.where(fin_l, l * dyn_, 0.0), axis=-1))
     eps_c = 1e-4
     infeas_cert = ((dy_norm > 1e-12)
                    & (Atdy <= eps_c * dy_norm)
@@ -359,15 +391,33 @@ def _falk_cert(spec: BoxQP, q, h, lb, ub, res: AdmmResult,
     # at 200 iters: α=1 gives −78, α=0 gives the TIGHT bound −4.6e-5);
     # converged duals want α=1. The matmuls (Âᵀy_G, P̂x̄) are shared, so
     # extra candidates cost only elementwise work.
-    f0q = 0.5 * jnp.sum(xh * Px, axis=-1)
-    S1 = jnp.sum(yG * uG, axis=-1)
+    if spec.dd_cert:
+        # compensated reductions (see BoxQP.dd_cert): the tangent terms
+        # ``used`` carry opposite-signed 1e2-scale entries certifying
+        # 1e-3-scale bounds — plain fp32 summation was the measured
+        # failure mode of chip strong branching (VERDICT r4 item 2).
+        from pyhybridcontrol_tpu.utils.dd import dd_dot, dd_sum
+
+        def rdot(u_, v_):
+            return dd_dot(u_, v_, axis=-1)
+
+        rsum = dd_sum
+    else:
+        def rdot(u_, v_):
+            return jnp.sum(u_ * v_, axis=-1)
+
+        def rsum(u_, axis=-1):
+            return jnp.sum(u_, axis=axis)
+
+    f0q = 0.5 * rdot(xh, Px)
+    S1 = rdot(yG, uG)
     bound = grad = used = None
     for a in (0.0, 0.5, 1.0):
         w_a = qh + a * dirv if a else qh
         grad_a = Px + w_a
         used_a = jnp.minimum(grad_a * (lbh - xh), grad_a * (ubh - xh))
-        bound_a = (f0q + jnp.sum(w_a * xh, axis=-1)
-                   + jnp.sum(used_a, axis=-1) - a * S1) / c
+        bound_a = (f0q + rdot(w_a, xh)
+                   + rsum(used_a) - a * S1) / c
         if bound is None:
             bound, grad, used = bound_a, grad_a, used_a
         else:

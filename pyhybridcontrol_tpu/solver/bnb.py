@@ -99,6 +99,20 @@ class CondensedBackend:
         return admm_solve_auto(self.admm, f, h, lb, ub, iters=iters,
                                warm=warm)
 
+    def solve_cert(self, f, h, lb, ub, iters, warm=None):
+        """Certificate-grade batched solve: ALWAYS the XLA path, never
+        the kernel — the Pallas kernel evaluates its primal-
+        infeasibility certificate with plain fp32 in-kernel sums,
+        while the XLA path honors the spec's ``dd_cert`` policy
+        (ops/admm.py: double-float compensated support/gap reductions).
+        Used for root strong branching, whose fixing/bound-lift arms
+        are only as sound as the certificates' arithmetic (the round-4
+        chip negative result — docs/PERFORMANCE.md)."""
+        from pyhybridcontrol_tpu.ops.admm import admm_solve
+
+        return admm_solve(self.admm, f, h, lb, ub, iters=iters,
+                          warm=warm)
+
     def solve_probe(self, f, h, lb, ub, iters, warm=None):
         from pyhybridcontrol_tpu.ops.pallas_admm import admm_solve_auto
 
@@ -483,7 +497,13 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
         warmc = (jnp.broadcast_to(r_root.x, (SBW,) + r_root.x.shape),
                  jnp.broadcast_to(r_root.z, (SBW,) + r_root.z.shape),
                  jnp.broadcast_to(r_root.y, (SBW,) + r_root.y.shape))
-        rcand = backend.solve(fc, hc, lbc, ubc, spec.sb_iters, warm=warmc)
+        # candidate solves go through the cert-grade path when the
+        # backend has one (XLA, dd-capable certs — see solve_cert):
+        # the (b)/(c) arms below fix variables and lift bounds off
+        # these certificates, and the in-kernel fp32 cert sums were
+        # the round-4 chip failure.
+        solve_c = getattr(backend, "solve_cert", backend.solve)
+        rcand = solve_c(fc, hc, lbc, ubc, spec.sb_iters, warm=warmc)
         certc = node_bound_root(rcand, fc, hc, lbc, ubc)
         certc = jnp.where(jnp.isfinite(certc),
                           jnp.maximum(certc, root_bound), root_bound)

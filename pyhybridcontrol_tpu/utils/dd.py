@@ -23,8 +23,9 @@ Correctness on a given backend depends on the compiler NOT reassociating
 float adds ((a+b)-a must not fold to b). XLA's algebraic simplifier is
 value-safe for floats by default; ``dd_selfcheck()`` verifies the
 error-free property at runtime on the live backend and is asserted in
-the test suite on both CPU and the real chip
-(tests/test_qp_solvers.py::test_dd_dot_accuracy, scripts/cert_dd_ab.py).
+the test suite (tests/test_qp_solvers.py::test_dd_dot_accuracy); the
+chip arm runs through ``scripts/config2_sb_ab.py --dd``, which prepares
+the ADMM specs with ``dd_cert=True``.
 """
 
 from __future__ import annotations

@@ -20,6 +20,16 @@ convergence only, bounds and pruning unchanged):
     --W=64        wave_size (config2 arm; tree-size vs wave-count trade)
     --cap=8192    pool capacity (config2 arm; 2048 overflows this tree)
 
+Round-5 arms (VERDICT r4 item 2 — chip-trustworthy certificates):
+
+    --dd          prepare the ADMM specs with dd_cert=True: Falk-bound
+                  and infeasibility-cert reductions run double-float
+                  compensated (utils/dd.py); SB candidate solves take
+                  the XLA cert-grade path (solver/bnb.py solve_cert)
+    --fix         BnbSpec.sb_fix=True (certificate fixing + root-bound
+                  lift — the arms gated off after the round-4 chip
+                  negative result; re-test WITH --dd)
+
 Prints one JSON line with waves/nodes/ms to the rel_gap stop plus the
 incumbent objective and certified gap, so arms can be compared for both
 tree size AND search parity (objectives must agree to ~1e-3 rel).
@@ -46,6 +56,8 @@ def main():
     root_it = 0
     wave_w = 128
     cap = 2048
+    dd = "--dd" in sys.argv
+    sb_fix = "--fix" in sys.argv
     for a in sys.argv[1:]:
         if a.startswith("--dt="):
             dt_tb = float(a[5:])
@@ -80,8 +92,8 @@ def main():
 
         mpwa = pwa_spring_mld(on_off=True, formulation="hull")
         cpw = CondensedMpc(mpwa, 20, pwa_weights())
-        qpw, admw = cpw.device_qp(), prepare_admm_mpc(cpw)
-        admw_p = prepare_admm_mpc(cpw, rho=10.0)
+        qpw, admw = cpw.device_qp(), prepare_admm_mpc(cpw, dd_cert=dd)
+        admw_p = prepare_admm_mpc(cpw, rho=10.0, dd_cert=dd)
         rspec = prepare_repair(mpwa, pwa_weights())
         spec = BnbSpec(capacity=cap, wave_size=wave_w,
                        # equal node budget across arms: ceil keeps at
@@ -90,6 +102,7 @@ def main():
                        max_waves=max(1, -(-64 * 128 // wave_w)),
                        qp_iters=200, probe_iters=600, gap=1e-3,
                        probe_patience=3, rel_gap=0.02, sb_iters=sb,
+                       sb_fix=sb_fix,
                        depth_tiebreak=dt_tb, root_iters=root_it)
 
         @jax.jit
@@ -115,10 +128,11 @@ def main():
         c3 = c3.with_soft_constraints(
             [k * nc3 + r for k in range(24) for r in (0, 1)],
             lin_pen=5.0, quad_pen=1.0)
-        qpw, admw = c3.device_qp(), prepare_admm_mpc(c3)
-        admw_p = prepare_admm_mpc(c3, rho=10.0)
+        qpw, admw = c3.device_qp(), prepare_admm_mpc(c3, dd_cert=dd)
+        admw_p = prepare_admm_mpc(c3, rho=10.0, dd_cert=dd)
         spec = BnbSpec(capacity=512, wave_size=64, max_waves=32,
                        qp_iters=200, gap=1e-3, rel_gap=0.02, sb_iters=sb,
+                       sb_fix=sb_fix,
                        depth_tiebreak=dt_tb, root_iters=root_it)
 
         @jax.jit
@@ -141,6 +155,7 @@ def main():
     obj, bo = float(r.obj), float(r.best_open_bound)
     print(json.dumps({
         "instance": which, "sb_iters": sb,
+        "dd_cert": dd, "sb_fix": sb_fix,
         "depth_tiebreak": dt_tb, "root_iters": root_it,
         "wave_size": wave_w, "capacity": cap,
         "backend": jax.default_backend(),

@@ -240,3 +240,69 @@ def test_bnb_random_structure_miqp_fuzz(rng):
         assert bool(r.found), f"trial {trial}: no incumbent"
         rel = abs(float(r.obj) - orc.obj) / max(1.0, abs(orc.obj))
         assert rel < 2e-3, f"trial {trial}: rel {rel:.2e}"
+
+
+def test_dd_dot_accuracy():
+    """utils/dd.py error-free transforms survive the live backend's
+    compiler (a reassociating compiler silently degrades dd to plain
+    fp32 — dd_selfcheck measures the catastrophic-cancellation error)."""
+    from pyhybridcontrol_tpu.utils.dd import dd_dot, dd_selfcheck
+
+    assert dd_selfcheck() < 1e-7
+
+    # random cancelling dots vs fp64 ground truth: dd tracks fp64 to
+    # ~fp32-ulp of the RESULT; plain fp32 sum loses ~eps·n·Σ|terms|
+    rng = np.random.default_rng(7)
+    a = np.concatenate([rng.normal(size=256) * 1e5,
+                        rng.normal(size=64)]).astype(np.float32)
+    b = np.concatenate([rng.normal(size=256) * 1e-5,
+                        rng.normal(size=64)]).astype(np.float32)
+    want = float(np.dot(a.astype(np.float64), b.astype(np.float64)))
+    got = float(jax.jit(dd_dot)(jnp.asarray(a), jnp.asarray(b)))
+    assert abs(got - want) <= 1e-5 * max(1.0, abs(want))
+
+
+def test_falk_cert_dd_valid_and_consistent(miqp):
+    """dd_cert=True Falk bounds stay VALID (≤ the fp64 relaxation
+    optimum) and agree with the fp32 evaluation to the fp32 rounding
+    envelope on a well-scaled problem (the dd payoff is on chip, where
+    the sums feed fixing decisions — VERDICT r4 item 2)."""
+    from pyhybridcontrol_tpu.ops.admm import admm_dual_bound
+
+    model, N, c, qp, spec = miqp
+    import dataclasses
+
+    spec_dd = dataclasses.replace(spec, dd_cert=True)
+    x0 = np.array([2.0, 0.0])
+    f, h = qp.assemble(jnp.asarray(x0, jnp.float32))
+    fo, ho = c.assemble_np(x0)
+    relax = solve_qp_oracle(c.H, fo, c.G, ho, c.lb, c.ub)
+    assert relax.status == "optimal"
+    res = admm_solve(spec, f, h, qp.lb, qp.ub, iters=400)
+    b32 = float(admm_dual_bound(spec, f, h, qp.lb, qp.ub, res))
+    bdd = float(admm_dual_bound(spec_dd, f, h, qp.lb, qp.ub, res))
+    tol = 1e-4 * max(1.0, abs(relax.obj))
+    assert bdd <= relax.obj + tol, "dd Falk bound above the relaxation"
+    assert abs(bdd - b32) <= 1e-3 * max(1.0, abs(b32))
+
+
+def test_bnb_sb_fix_dd_matches_enumeration(miqp):
+    """Root strong branching with the certificate arms ON (sb_fix=True)
+    over dd_cert preps returns the enumeration optimum — the end-to-end
+    CPU check of the chip-trustworthy-certificate path (VERDICT r4
+    item 2; candidate solves ride CondensedBackend.solve_cert)."""
+    import dataclasses
+
+    model, N, c, qp, spec = miqp
+    spec_dd = dataclasses.replace(spec, dd_cert=True)
+    x0 = np.array([2.0, 0.0])
+    f, h = qp.assemble(jnp.asarray(x0, jnp.float32))
+    _, obj_enum, _, _ = solve_miqp_enumerate_device(spec, qp, f, h,
+                                                    iters=600)
+    res = solve_miqp_bnb(spec_dd, qp, f, h,
+                         BnbSpec(capacity=256, wave_size=16, max_waves=64,
+                                 qp_iters=600, sb_iters=200, sb_fix=True,
+                                 root_iters=1200))
+    assert bool(res.found)
+    assert abs(float(res.obj) - float(obj_enum)) <= 1e-3 * max(
+        1.0, abs(float(obj_enum)))
