@@ -144,6 +144,7 @@ _SPREAD_TARGET_PCT = {
     "config3_thermal_uc": 14.0,
     "config4_scenario_batch": 12.0,
     "config4b_dewh_loop": 10.0,
+    "config6_stagewise_tree": 30.0,
 }
 
 
@@ -625,6 +626,110 @@ def main():
 
     if have_budget("config4b_dewh_loop"):
         _run_section(details, "config4b_dewh_loop", _sec_config4b,
+                     args.inject_error, budget_left=budget_left)
+
+    # ---- config 6: stagewise-tree long-horizon MIQP on device ------------
+    # The round-4 flagship capability (ops/stagewise_tree.py — O(N)
+    # block-tridiagonal scenario-tree MIQP) proven on SILICON (VERDICT
+    # r4 item 5): (a) a small N=4/S=2 tree solved on device vs the fp64
+    # joint-frame oracle (parity), (b) the long-horizon arm — N=120,
+    # S=8, one horizon-coupled extra row (rank-1 bordered Woodbury) —
+    # timed end-to-end. Budget floors are steep: the length-120 scan is
+    # the biggest first-compile in the suite, and CLAUDE.md's round-2
+    # wedge (a killed length-200-scan compile locked the chip ~55 min)
+    # mandates "never start a big first-compile you might have to
+    # kill" — on a cold cache this section requires more budget than
+    # the driver's default, i.e. it runs only after a builder run has
+    # warmed the cache.
+    def _sec_config6():
+            from pyhybridcontrol_tpu.mld.info import MldInfo
+            from pyhybridcontrol_tpu.mld.model import MldModel
+            from pyhybridcontrol_tpu.ops.scenario_tree import (
+                ScenarioTree, build_scenario_tree_qp)
+            from pyhybridcontrol_tpu.ops.stagewise_tree import (
+                assemble_stagewise_tree, assemble_stagewise_tree_ext,
+                prepare_stagewise_tree, solve_tree_miqp_stagewise)
+            from pyhybridcontrol_tpu.solver.oracle import (
+                solve_miqp_enumeration_oracle)
+
+            _m = model.numpy_mats()
+            omega_di = MldModel.from_matrices(
+                MldInfo(nx=2, nu=1, ndelta=1, nz=1, nomega=1, ny=2,
+                        ncons=model.info.ncons),
+                A=_m.A, B1=_m.B1, B3=_m.B3,
+                B4=np.array([[0.0], [1.0]]),
+                C=_m.C, E=_m.E, F1=_m.F1, F2=_m.F2, F3=_m.F3, f5=_m.f5)
+            w6 = default_weights()
+            x0_6 = jnp.asarray([2.0, 0.0], jnp.float32)
+
+            # (a) parity: N=4, S=2 device tree vs fp64 joint oracle
+            rng6 = np.random.default_rng(11)
+            tree_s = ScenarioTree.from_branching(
+                rng6.normal(0.0, 0.3, size=(2, 4, 1)), branch_steps=(1,))
+            swt_s = prepare_stagewise_tree(omega_di, tree_s, w6)
+            swt_sp = prepare_stagewise_tree(omega_di, tree_s, w6,
+                                            rho=10.0)
+            qs, ls, us = assemble_stagewise_tree(swt_s, x0_6)
+            rs = solve_tree_miqp_stagewise(
+                swt_s, qs, ls, us,
+                BnbSpec(capacity=512, wave_size=32, qp_iters=600,
+                        probe_iters=3000, max_waves=48),
+                swt_probe=swt_sp)
+            joint = build_scenario_tree_qp(
+                CondensedMpc(omega_di, 4, w6), tree_s)
+            W6 = np.asarray(tree_s.omega_paths, np.float64).reshape(8, 1)
+            fo, ho = joint.assemble_np(np.asarray(x0_6), W6)
+            orc = solve_miqp_enumeration_oracle(
+                joint.H, fo, joint.G, ho, joint.lb, joint.ub,
+                joint.binary_idx)
+            S_, b_, nv_ = 2, swt_s.sw.b, swt_s.sw.nv
+            V6 = (np.asarray(rs.x).reshape(S_, 4, b_)[:, :, :nv_]
+                  .reshape(-1).astype(np.float64))
+            dev_obj = float(0.5 * V6 @ joint.H @ V6 + fo @ V6)
+            par6 = abs(dev_obj - orc.obj) / max(1.0, abs(orc.obj))
+
+            # (b) long horizon: N=120, S=8, one extra row (input budget
+            # over the whole horizon — exercises the rank-1 bordered
+            # Woodbury path per scenario)
+            N6, S6 = 120, 8
+            on_tpu6 = jax.default_backend() == "tpu"
+            if not on_tpu6:
+                N6, S6 = 24, 4          # CPU smoke: path, not the number
+            tree_l = ScenarioTree.from_branching(
+                rng6.normal(0.0, 0.2, size=(S6, N6, 1)),
+                branch_steps=(1, max(2, N6 // 3), max(3, 2 * N6 // 3))
+                if S6 == 8 else (1, max(2, N6 // 2)))
+            nv6 = omega_di.info.nv
+            A_v = np.zeros((1, N6 * nv6))
+            A_v[0, 0::nv6] = 1.0        # Σ_k u_k ≤ budget
+            swt_l = prepare_stagewise_tree(
+                omega_di, tree_l, w6, extra=(A_v, np.array([60.0]),
+                                             None, None))
+            swt_lp = prepare_stagewise_tree(
+                omega_di, tree_l, w6, rho=10.0,
+                extra=(A_v, np.array([60.0]), None, None))
+            ql, ll, ul = assemble_stagewise_tree(swt_l, x0_6)
+            ext_u6 = assemble_stagewise_tree_ext(swt_l, x0_6)
+            spec6 = BnbSpec(capacity=64, wave_size=8, max_waves=6,
+                            qp_iters=150, probe_iters=300, gap=1e-3)
+
+            def solve6(q_):
+                return solve_tree_miqp_stagewise(
+                    swt_l, q_, ll, ul, spec6, swt_probe=swt_lp,
+                    ext_u=ext_u6)
+            dt6, r6 = _timeit(solve6, ql, reps=2)
+            details["config6_stagewise_tree"] = dict(
+                **_band(), N=N6, S=S6, n_ext=1,
+                parity_small=dict(S=2, N=4, device_obj=round(dev_obj, 5),
+                                  oracle_obj=round(float(orc.obj), 5),
+                                  rel_delta=round(par6, 8)),
+                ms_per_solve=round(1e3 * dt6, 2),
+                nodes=int(r6.nodes_solved), found=bool(r6.found),
+                objective=round(float(r6.obj), 4))
+
+    if have_budget("config6_stagewise_tree",
+                   floor=(150 if cache_warm else 900)):
+        _run_section(details, "config6_stagewise_tree", _sec_config6,
                      args.inject_error, budget_left=budget_left)
 
     # ---- config 5: sharded B&B (virtual mesh on 1 chip: N/A) -------------

@@ -403,11 +403,15 @@ class MpcController:
         up = (jnp.asarray(u_prevs, jnp.float32)
               if u_prevs is not None else None)
         if engine == "auto":
-            # pooled whenever eligible: bnb solver, no scenario tree,
-            # no mesh placement (the pooled pool is single-program;
-            # mesh batches go through vmap + scenario sharding)
+            # pooled whenever eligible: bnb solver, dense-joint or no
+            # scenario tree, no mesh placement (the pooled pool is
+            # single-program; mesh batches go through vmap + scenario
+            # sharding). Dense-joint trees pool via rep-map branching
+            # (solver/bnb_pooled.py branch_map); consensus trees keep
+            # the vmap engine (their solve is not a CondensedBackend).
             engine = ("pooled" if (self.solver == "bnb"
-                                   and self._tree is None
+                                   and (self._tree is None
+                                        or not self._tree_consensus)
                                    and mesh is None)
                       else "vmap")
         if engine == "pooled":
@@ -445,12 +449,49 @@ class MpcController:
             raise ValueError(
                 f'engine="pooled" requires solver="bnb", got '
                 f'{self.solver!r}')
-        if self._tree is not None:
-            raise ValueError('engine="pooled" does not support scenario '
-                             "trees (one tree = one MIQP; batch trees "
-                             "via the vmap engine)")
+        if self._tree is not None and self._tree_consensus:
+            raise ValueError('engine="pooled" supports dense-joint '
+                             "scenario trees (rep-map branching); "
+                             "batch CONSENSUS trees via the vmap "
+                             "engine")
         qp, admm = self._qp, self._admm
         B = x0s.shape[0]
+        branch_map = None
+        if self._tree is not None:
+            # a tree is one MIQP of the joint condensed frame
+            # (ops/scenario_tree.build_scenario_tree_qp) — it slots
+            # into the global pool like any instance once branching is
+            # rep-mapped: each (info-set, step, var) group of binary
+            # copies branches as ONE decision (VERDICT r4 item 7; the
+            # ops/stagewise_tree.py trick on the condensed frame).
+            t, info = self._tree, self.model.info
+            S = t.S
+            nVs = self._cmpc.nV // S          # single-scenario width
+            nv, nud = info.nv, info.nu + info.ndelta
+            bidx = np.nonzero(self._cmpc.binary_mask)[0]
+            groups: dict = {}
+            bm = np.empty(len(bidx), int)
+            for ti, col in enumerate(bidx):
+                s_, off = divmod(int(col), nVs)
+                k_, j_ = divmod(off, nv)
+                key = ((int(t.groups[s_][k_]), k_, j_) if j_ < nud
+                       else ("own", ti))
+                bm[ti] = groups.setdefault(key, len(groups))
+            branch_map = bm
+            if W is None:
+                # the tree supplies its own disturbance paths,
+                # identical for every instance (feedback() semantics)
+                if t.omega_paths.size:
+                    W = jnp.asarray(
+                        np.asarray(t.omega_paths, np.float32).reshape(
+                            1, S * t.N, -1))
+                    W = jnp.broadcast_to(W, (B,) + W.shape[1:])
+            if (Pq is not None and Pq.shape[0] == self.N):
+                from pyhybridcontrol_tpu.ops.scenario_tree import (
+                    tree_price_seq)
+
+                Pq = jnp.asarray(tree_price_seq(t, np.asarray(Pq)),
+                                 jnp.float32)
         f, h = jax.vmap(
             lambda x, W_, up_: qp.assemble(x, W_, up_, Pq),
             in_axes=(0, 0 if W is not None else None,
@@ -487,7 +528,8 @@ class MpcController:
                             max_waves=gw)
         res = solve_miqp_bnb_pooled(
             admm, qp, f, h, pspec, pool_slots=P,
-            init_incumbent=seed, admm_probe=self._admm_probe)
+            init_incumbent=seed, admm_probe=self._admm_probe,
+            branch_map=branch_map)
         v_seq = jax.vmap(qp.full_v)(res.x)          # (B, N, nv)
         info = self.model.info
         v0 = v_seq[:, 0]

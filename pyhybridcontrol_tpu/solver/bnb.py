@@ -258,6 +258,21 @@ class BnbSpec:
     # subtree. Pseudo-cost seeding (a) is search-order-only and always
     # safe. Turn this on for CPU/fp64-grade runs or after validating
     # the cert margins on the target arithmetic.
+    dive_slots: int = 0          # wave slots reserved for the DEEPEST
+    # active nodes (ties broken best-bound): a guaranteed diving lane
+    # alongside best-first selection. Why: the engine's ONLY incumbent
+    # source is the dive probe, and a probe is feasible only when the
+    # node's rounded relaxation is a consistent trajectory — on
+    # degenerate hull faces (config 2: 44 binaries fractional at the
+    # root) shallow nodes' roundings are jointly contradictory, and a
+    # best-first order that stalls on a bound plateau then starves the
+    # incumbent channel for the entire run (measured three ways: chip
+    # root_iters×sb shipped the 84.03 repair seed for 64 waves; adding
+    # 80 CGLP cut rows reproduced the same 84.05 starvation on CPU;
+    # baseline orders escape only by luck of the face vertex). The dive
+    # lane guarantees depth progress ~1 level/wave, so within ~nb waves
+    # some probes run from fully-consistent subtrees. Search-order
+    # only: bounds, pruning and certificates are unchanged.
     root_iters: int = 0          # extra-converged root relaxation: the
     # root is ONE solve whose bound gates the entire search — if it
     # does not reach feas_tol within qp_iters, every descendant
@@ -285,6 +300,8 @@ class BnbSpec:
             raise ValueError("sb_iters must be >= 0")
         if self.depth_tiebreak < 0:
             raise ValueError("depth_tiebreak must be >= 0")
+        if not 0 <= self.dive_slots < self.wave_size:
+            raise ValueError("need 0 <= dive_slots < wave_size")
         if self.pool_norm not in ("none", "relgap"):
             raise ValueError(f"unknown pool_norm {self.pool_norm!r}")
 
@@ -566,13 +583,41 @@ def _bnb_loop(backend, f, h, spec: BnbSpec,
         return live
 
     def body(s: BnbState) -> BnbState:
-        # -- 1. best-first selection ------------------------------------
+        # -- 1. best-first selection (+ optional dive lane) ---------------
         pri_val = s.bound
         if spec.depth_tiebreak > 0:
             pri_val = pri_val - spec.depth_tiebreak * s.depth
         pri = jnp.where(s.active, pri_val, BIG)
-        neg, sel = jax.lax.top_k(-pri, W)
-        valid = s.active[sel]
+        if spec.dive_slots > 0:
+            # reserve dive_slots for the DEEPEST active nodes (ties →
+            # best bound): the guaranteed diving lane (BnbSpec.
+            # dive_slots). Best-first picks W−k first; the dive top_k
+            # then runs over the REMAINING nodes (selected ones masked
+            # out), so the two lanes never collide on a slot.
+            k = spec.dive_slots
+            neg, sel_b = jax.lax.top_k(-pri, W - k)
+            taken = jnp.zeros_like(s.active).at[sel_b].set(True)
+            dive_pri = jnp.where(
+                s.active & ~taken,
+                s.depth.astype(pri.dtype)
+                - jnp.clip(s.bound, -BIG, BIG) * 1e-9,
+                -BIG)
+            dval, sel_d = jax.lax.top_k(dive_pri, k)
+            # fewer active-unselected nodes than k → top_k returns
+            # arbitrary (-BIG) slots, possibly DUPLICATING a best-first
+            # pick: such entries are invalidated AND redirected to the
+            # out-of-bounds sentinel slot, so their scatters DROP
+            # (default jax scatter OOB semantics) instead of racing the
+            # best-first copy's writes on the shared slot (last-write-
+            # wins would silently deactivate an expanded node — a
+            # dropped subtree with no overflow flag).
+            valid_d = s.active[sel_d] & (dval > -BIG)
+            sel_d = jnp.where(dval > -BIG, sel_d, spec.capacity)
+            sel = jnp.concatenate([sel_b, sel_d])
+            valid = jnp.concatenate([s.active[sel_b], valid_d])
+        else:
+            neg, sel = jax.lax.top_k(-pri, W)
+            valid = s.active[sel]
         fm = s.fix_mask[sel]
         fv = s.fix_val[sel]
         parent_bound = s.bound[sel]

@@ -94,8 +94,13 @@ class KernelCondensedBackend(CondensedBackend):
 class PooledState:
     # packed pool (P slots, global over instances) — see module docstring
     meta: jnp.ndarray          # (P, 8) f32 packed per-node metadata
-    fixenc: jnp.ndarray        # (P, nb) f32: −1 unfixed / 0 / 1 fixed
-    warm: jnp.ndarray          # (P, n+2mt) f32: x ‖ z ‖ y
+    node: jnp.ndarray          # (P, nbr+n+2mt) f32: fixenc ‖ x ‖ z ‖ y
+    #                            (fixenc: −1 unfixed / 0 / 1 fixed;
+    #                            round-5 packing — fixenc and warm were
+    #                            separate arrays, costing one extra
+    #                            gather and two extra scatters per wave
+    #                            at the measured ~0.05–0.07 ms/op
+    #                            dispatch grain)
     # shared pseudo-costs, packed (nb, 2 dirs, 2): [..., 0] = sum of
     # per-unit degradations, [..., 1] = observation count — ONE
     # scatter-add per wave instead of two
@@ -120,9 +125,24 @@ class PooledState:
 
 
 def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
-                 init_node=None, init_incumbent=None) -> BnbResult:
+                 init_node=None, init_incumbent=None,
+                 branch_map=None) -> BnbResult:
     """f (B, n), h (B, m_ineq). Returns BnbResult with (B,)-leading
-    incumbent fields and scalar wave/node counters."""
+    incumbent fields and scalar wave/node counters.
+
+    ``branch_map`` (scenario-TREE instances — VERDICT r4 item 7):
+    (nb,) int array mapping each binary COORDINATE to its information-
+    set group; the pool then stores one fix-encoding per GROUP and one
+    branching decision fixes every member coordinate (the rep-map trick
+    of ops/stagewise_tree.py, transplanted to the condensed joint
+    frame). Member relaxation values are averaged for fractionality /
+    probe rounding (non-anticipativity rows push them equal; a per-
+    member rounding can split a 0.5 tie across members and hand the
+    probe a contradictory assignment). With a branch_map the wave runs
+    the UNFUSED relax→probe composition (the fused kernel's in-kernel
+    rounding is per-coordinate) and node presolve fixing is disabled
+    (per-coordinate flip deltas do not group-certify); the certified
+    Falk node bound is unchanged."""
     B, n = f.shape
     nb = len(backend.binary_idx)
     bidx = jnp.asarray(backend.binary_idx)
@@ -132,14 +152,30 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
     dtype = f.dtype
     if P < 2 * B:
         raise ValueError(f"pool_slots {P} < 2*B (roots + warm nodes)")
+    if branch_map is not None:
+        import numpy as _np
+
+        bm_np = _np.asarray(branch_map, _np.int32)
+        nbr = int(bm_np.max()) + 1 if len(bm_np) else 0
+        rep_of = jnp.asarray(bm_np)                    # (nb,) group id
+        # column-normalized membership: xr = xb @ Mavg  (group means)
+        Mavg_np = _np.zeros((len(bm_np), nbr), _np.float32)
+        Mavg_np[_np.arange(len(bm_np)), bm_np] = 1.0
+        Mavg_np /= _np.maximum(Mavg_np.sum(axis=0, keepdims=True), 1.0)
+        Mavg = jnp.asarray(Mavg_np)
+    else:
+        nbr = nb
+        rep_of = None
 
     def node_bounds(enc):
         Wb = enc.shape[0]
-        fm = enc >= 0.0
+        encf = enc if rep_of is None else enc[:, rep_of]
+        fm = encf >= 0.0
         lb = jnp.broadcast_to(backend.lb, (Wb, backend.n))
         ub = jnp.broadcast_to(backend.ub, (Wb, backend.n))
-        lb = lb.at[:, bidx].set(jnp.maximum(enc, 0.0))
-        ub = ub.at[:, bidx].set(jnp.where(fm, jnp.maximum(enc, 0.0), 1.0))
+        lb = lb.at[:, bidx].set(jnp.maximum(encf, 0.0))
+        ub = ub.at[:, bidx].set(jnp.where(fm, jnp.maximum(encf, 0.0),
+                                          1.0))
         return lb, ub
 
     # ---- init: B roots in slots 0..B-1 -----------------------------------
@@ -148,11 +184,11 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
     meta0 = meta0.at[:, _BVAR].set(-1.0)
     meta0 = meta0.at[:B, _INST].set(jnp.arange(B, dtype=dtype))
     meta0 = meta0.at[:B, _ACTIVE].set(1.0)
+    nwid = nbr + n + 2 * mt
     s = PooledState(
         meta=meta0,
-        fixenc=jnp.full((P, nb), -1.0, dtype),
-        warm=jnp.zeros((P, n + 2 * mt), dtype),
-        pc=jnp.zeros((nb, 2, 2), dtype),
+        node=jnp.zeros((P, nwid), dtype).at[:, :nbr].set(-1.0),
+        pc=jnp.zeros((nbr, 2, 2), dtype),
         inc_obj=jnp.full((B,), BIG, dtype),
         inc_xf=jnp.zeros((B, n + 1), dtype),
         wave=jnp.asarray(0, jnp.int32),
@@ -174,11 +210,11 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
                                  jnp.ones((B, 1), dtype)], axis=-1),
                 s.inc_xf))
     if spec.root_iters > spec.qp_iters and spec.warm_start:
-        lb0, ub0 = node_bounds(s.fixenc[:B])
+        lb0, ub0 = node_bounds(s.node[:B, :nbr])
         r0 = backend.solve(f, h, lb0, ub0,
                            spec.root_iters - spec.qp_iters)
         w0 = jnp.concatenate([r0.x, r0.z, r0.y], axis=-1).astype(dtype)
-        s = dataclasses.replace(s, warm=s.warm.at[:B].set(w0))
+        s = dataclasses.replace(s, node=s.node.at[:B, nbr:].set(w0))
     if init_node is not None:
         # carried-plan warm start per instance: fully-fixed candidate
         # assignments in slots B..2B-1 (bound −BIG → ride wave 1; their
@@ -190,11 +226,12 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
         meta = meta.at[sl, _ACTIVE].set(okn.astype(dtype))
         s = dataclasses.replace(
             s, meta=meta,
-            fixenc=s.fixenc.at[sl].set(
+            node=s.node.at[sl, :nbr].set(
                 jnp.clip(bv0.astype(dtype), 0.0, 1.0)))
         if spec.warm_start and xw is not None:
             s = dataclasses.replace(
-                s, warm=s.warm.at[sl, :n].set(xw.astype(dtype)))
+                s, node=s.node.at[sl, nbr:nbr + n].set(
+                    xw.astype(dtype)))
 
     def cond(s: PooledState):
         live = s.alive & (s.wave < spec.max_waves)
@@ -229,7 +266,8 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
         valid = m_sel[:, _ACTIVE] > 0.0
         ni = m_sel[:, _INST].astype(jnp.int32)
         parent_bound = m_sel[:, _BOUND]
-        enc = s.fixenc[sel]
+        n_sel = s.node[sel]                   # ONE gather: enc ‖ x‖z‖y
+        enc = n_sel[:, :nbr]
         fm = enc >= 0.0
         fv = jnp.maximum(enc, 0.0)
 
@@ -239,7 +277,7 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
         hb = h[ni]
         lb, ub = node_bounds(enc)
         if spec.warm_start:
-            w_sel = s.warm[sel]               # ONE gather for x‖z‖y
+            w_sel = n_sel[:, nbr:]            # packed with the gather
             warm = (w_sel[:, :n], w_sel[:, n:n + mt], w_sel[:, n + mt:])
         else:
             warm = None
@@ -258,13 +296,17 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
                          | (s.probe_stale < spec.probe_patience))
 
         def wave_probe(_):
-            if solve_wave is not None:
+            if solve_wave is not None and rep_of is None:
                 relax, probe, lb_p, ub_p = solve_wave(
                     fb, hb, lb, ub, spec.qp_iters, piters, warm=warm)
             else:
                 relax = backend.solve(fb, hb, lb, ub, spec.qp_iters,
                                       warm=warm)
                 xb = relax.x[:, bidx]
+                if rep_of is not None:
+                    # group-mean before rounding: one dive value per
+                    # information set (see _pooled_loop docstring)
+                    xb = jnp.matmul(xb, Mavg, precision="highest")
                 pv = jnp.where(fm, fv, jnp.round(jnp.clip(xb, 0.0, 1.0)))
                 lb_p, ub_p = node_bounds(pv)
                 probe = backend.solve_probe(
@@ -295,8 +337,10 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
                       | (relax.r_prim_rel > spec.infeas_tol))
         # certified dual bound + per-binary presolve data — valid for
         # ANY iterate (ops/admm.py admm_node_cert; see solver/bnb.py
-        # for why relax.obj alone wrongly prunes).
-        if spec.presolve_fix and nb > 0:
+        # for why relax.obj alone wrongly prunes). Rep-map runs skip
+        # the fixing data: per-COORDINATE flip deltas do not certify a
+        # whole-group flip (members' tangent sides may disagree).
+        if spec.presolve_fix and nb > 0 and rep_of is None:
             cert, flip_delta, retain_side, imp_lo, imp_hi = \
                 backend.node_cert(relax, fb, hb, lb, ub)
             presolve = (flip_delta, retain_side, imp_lo, imp_hi)
@@ -309,9 +353,11 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
                           jnp.maximum(parent_bound, cert), BIG)
 
         xb = relax.x[:, bidx]
+        if rep_of is not None:
+            xb = jnp.matmul(xb, Mavg, precision="highest")  # (W, nbr)
         rounded = jnp.round(jnp.clip(xb, 0.0, 1.0))
         frac = jnp.where(fm, 0.0, jnp.abs(xb - rounded))
-        max_frac = jnp.max(frac, axis=1) if nb > 0 else jnp.zeros(W)
+        max_frac = jnp.max(frac, axis=1) if nbr > 0 else jnp.zeros(W)
         integral = max_frac < spec.int_tol
         fully_fixed = jnp.all(fm, axis=1)
 
@@ -323,7 +369,7 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
         gain = jnp.maximum(lower - parent_bound, 0.0)
         denom = jnp.where(bdir == 1, 1.0 - bf, bf)
         contrib = jnp.where(obs, gain / jnp.maximum(denom, 1e-3), 0.0)
-        bv_safe = jnp.where(obs, bv, nb)
+        bv_safe = jnp.where(obs, bv, nbr)
         pc = s.pc.at[bv_safe, bdir].add(
             jnp.stack([contrib, obs.astype(dtype)], axis=-1),
             mode="drop")
@@ -407,7 +453,7 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
         # presolve may fix EVERYTHING: child-0 keeps (fm2, fv2) as its
         # own leaf, child-1 is dead (see solver/bnb.py).
         has_branch = jnp.any(~fm2, axis=1)
-        branch_hot = (jax.nn.one_hot(jstar, nb, dtype=bool)
+        branch_hot = (jax.nn.one_hot(jstar, nbr, dtype=bool)
                       & has_branch[:, None])
         enc2 = jnp.where(fm2, fv2, -1.0)      # post-presolve encoding
         cenc0 = jnp.where(branch_hot, 0.0, enc2)
@@ -445,14 +491,14 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
                              m_sel.at[:, _ACTIVE].set(0.0)
                              .at[:, _BOUND].set(child_bound))
         meta = s.meta.at[sel].set(m_parent)
-        fixenc = s.fixenc.at[sel].set(
-            jnp.where(expand[:, None], cenc0, enc))
+        enc_parent = jnp.where(expand[:, None], cenc0, enc)
         if spec.warm_start:
             w_new = jnp.concatenate([relax.x, relax.z, relax.y],
                                     axis=-1).astype(dtype)
-            warm_arr = s.warm.at[sel].set(w_new)
         else:
-            warm_arr = s.warm
+            w_new = n_sel[:, nbr:]
+        n_parent = jnp.concatenate([enc_parent, w_new], axis=-1)
+        node_arr = s.node.at[sel].set(n_parent)   # ONE packed scatter
 
         # child-1 → globally free slots (best-bound children win)
         free_score = jnp.where(meta[:, _ACTIVE] > 0.0, -1.0, 1.0)
@@ -469,10 +515,9 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
             jnp.ones((W,), dtype),                       # active
             jnp.zeros((W,), dtype)], axis=1)
         meta = meta.at[tgt_safe].set(m_child1[order], mode="drop")
-        fixenc = fixenc.at[tgt_safe].set(cenc1[order], mode="drop")
-        if spec.warm_start:
-            warm_arr = warm_arr.at[tgt_safe].set(w_new[order],
-                                                 mode="drop")
+        n_child1 = jnp.concatenate([cenc1, w_new], axis=-1)
+        node_arr = node_arr.at[tgt_safe].set(n_child1[order],
+                                             mode="drop")
         drop_mask = c1live[order] & ~slot_free
         overflow = s.overflow | jnp.any(drop_mask)
         dropped_min = s.dropped_min.at[
@@ -488,7 +533,7 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
             dropped_min)
 
         return PooledState(
-            meta=meta, fixenc=fixenc, warm=warm_arr,
+            meta=meta, node=node_arr,
             pc=pc,
             inc_obj=inc_obj, inc_xf=inc_xf,
             wave=s.wave + 1,
@@ -510,7 +555,8 @@ def _pooled_loop(backend, f, h, spec: BnbSpec, pool_slots: int,
                      overflow=s.overflow, best_open_bound=best_open)
 
 
-def _jitted_pooled(admm, qp, admm_probe, spec: BnbSpec, P: int):
+def _jitted_pooled(admm, qp, admm_probe, spec: BnbSpec, P: int,
+                   branch_map=None):
     """Jitted pooled loop closing over concrete problem data — same
     rationale and memoization policy as solver/bnb.py ``_jitted_bnb``
     (a jit ARGUMENT is abstracted to a Tracer, which locks
@@ -526,11 +572,13 @@ def _jitted_pooled(admm, qp, admm_probe, spec: BnbSpec, P: int):
         def run(f, h, init_incumbent, init_node):
             return _pooled_loop(backend, f, h, spec, P,
                                 init_node=init_node,
-                                init_incumbent=init_incumbent)
+                                init_incumbent=init_incumbent,
+                                branch_map=branch_map)
 
         return run
 
-    return cached_on(admm, ("pooled_run", id(qp), id(admm_probe), spec, P),
+    return cached_on(admm, ("pooled_run", id(qp), id(admm_probe), spec, P,
+                            branch_map),
                      build)
 
 
@@ -538,8 +586,8 @@ def solve_miqp_bnb_pooled(admm: BoxQP, qp: DeviceQP, f, h,
                           spec: BnbSpec = BnbSpec(),
                           pool_slots: int = 0,
                           init_incumbent=None, init_node=None,
-                          admm_probe: Optional[BoxQP] = None
-                          ) -> BnbResult:
+                          admm_probe: Optional[BoxQP] = None,
+                          branch_map=None) -> BnbResult:
     """Solve B MIQPs sharing one condensed structure in a single pooled
     B&B. f (B, n), h (B, m_ineq) from a vmapped ``qp.assemble``.
 
@@ -549,15 +597,25 @@ def solve_miqp_bnb_pooled(admm: BoxQP, qp: DeviceQP, f, h,
     (requires a concrete — closed-over or eager — ``admm``; a traced
     jit-argument spec inlines the loop on the XLA wave path).
 
+    ``branch_map``: optional (nb,) information-set group ids for
+    scenario-TREE instances — one branching decision then fixes every
+    member binary of the set (see ``_pooled_loop``; ``init_node``
+    binary values must be given in rep space when set).
+
     Returns a BnbResult whose x/obj/found/best_open_bound carry the
     (B,) instance axis; waves/nodes_solved are global scalars."""
     B = f.shape[0]
     P = pool_slots or max(32 * B, 2 * B)
+    if branch_map is not None:
+        import numpy as _np
+
+        branch_map = tuple(int(g) for g in _np.asarray(branch_map))
     if isinstance(admm.P, jax.core.Tracer):
         backend = KernelCondensedBackend(admm=admm, qp=qp,
                                          admm_probe=admm_probe)
         return _pooled_loop(backend, f, h, spec, P,
                             init_node=init_node,
-                            init_incumbent=init_incumbent)
-    return _jitted_pooled(admm, qp, admm_probe, spec, P)(
+                            init_incumbent=init_incumbent,
+                            branch_map=branch_map)
+    return _jitted_pooled(admm, qp, admm_probe, spec, P, branch_map)(
         f, h, init_incumbent, init_node)

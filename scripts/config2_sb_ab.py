@@ -29,6 +29,8 @@ Round-5 arms (VERDICT r4 item 2 — chip-trustworthy certificates):
     --fix         BnbSpec.sb_fix=True (certificate fixing + root-bound
                   lift — the arms gated off after the round-4 chip
                   negative result; re-test WITH --dd)
+    --dive=16     BnbSpec.dive_slots (guaranteed diving lane — the
+                  probe-starvation fix for the root x sb order)
 
 Prints one JSON line with waves/nodes/ms to the rel_gap stop plus the
 incumbent objective and certified gap, so arms can be compared for both
@@ -58,6 +60,7 @@ def main():
     cap = 2048
     dd = "--dd" in sys.argv
     sb_fix = "--fix" in sys.argv
+    dive = 0
     for a in sys.argv[1:]:
         if a.startswith("--dt="):
             dt_tb = float(a[5:])
@@ -67,6 +70,8 @@ def main():
             wave_w = int(a[4:])
         elif a.startswith("--cap="):
             cap = int(a[6:])
+        elif a.startswith("--dive="):
+            dive = int(a[7:])
     if "--cpu" in sys.argv:
         import jax
 
@@ -102,7 +107,7 @@ def main():
                        max_waves=max(1, -(-64 * 128 // wave_w)),
                        qp_iters=200, probe_iters=600, gap=1e-3,
                        probe_patience=3, rel_gap=0.02, sb_iters=sb,
-                       sb_fix=sb_fix,
+                       sb_fix=sb_fix, dive_slots=dive,
                        depth_tiebreak=dt_tb, root_iters=root_it)
 
         @jax.jit
@@ -132,7 +137,7 @@ def main():
         admw_p = prepare_admm_mpc(c3, rho=10.0, dd_cert=dd)
         spec = BnbSpec(capacity=512, wave_size=64, max_waves=32,
                        qp_iters=200, gap=1e-3, rel_gap=0.02, sb_iters=sb,
-                       sb_fix=sb_fix,
+                       sb_fix=sb_fix, dive_slots=dive,
                        depth_tiebreak=dt_tb, root_iters=root_it)
 
         @jax.jit
@@ -155,7 +160,7 @@ def main():
     obj, bo = float(r.obj), float(r.best_open_bound)
     print(json.dumps({
         "instance": which, "sb_iters": sb,
-        "dd_cert": dd, "sb_fix": sb_fix,
+        "dd_cert": dd, "sb_fix": sb_fix, "dive_slots": dive,
         "depth_tiebreak": dt_tb, "root_iters": root_it,
         "wave_size": wave_w, "capacity": cap,
         "backend": jax.default_backend(),

@@ -39,6 +39,7 @@ _SLOW = {
     "tests/test_battery.py::test_battery_feedback_oracle_parity",
     "tests/test_binary_states.py::test_binary_state_solve_matches_oracle",
     "tests/test_bnb_pooled.py::test_pooled_matches_vmapped",
+    "tests/test_bnb_pooled.py::test_pooled_scenario_tree_matches_oracle",
     "tests/test_bnb_properties.py::test_incumbent_monotone_in_wave_budget",
     "tests/test_bnb_properties.py::test_overflow_keeps_gap_conservative",
     "tests/test_bnb_search.py::test_presolve_fix_shrinks_uc_tree",

@@ -323,3 +323,22 @@ def test_strong_branching_with_incumbent_seed(prob):
     assert bool(sb.found)
     np.testing.assert_allclose(float(sb.obj), float(exact.obj),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_dive_slots_matches_enumeration(prob):
+    """The dive lane (BnbSpec.dive_slots) is search-order only: the
+    returned optimum must equal the enumeration oracle's, and no
+    subtree may be silently dropped (the OOB-sentinel path when fewer
+    active nodes exist than dive slots — wave 1 has exactly one)."""
+    from pyhybridcontrol_tpu.solver.enumerate import (
+        solve_miqp_enumerate_device)
+
+    qp, admm, f, h = prob
+    _, obj_enum, _, _ = solve_miqp_enumerate_device(
+        admm, qp, f, h, iters=600)
+    for k in (1, 6):
+        res = solve_miqp_bnb(admm, qp, f, h, _base(dive_slots=k))
+        assert bool(res.found)
+        assert not bool(res.overflow)
+        assert abs(float(res.obj) - float(obj_enum)) <= 1e-3 * max(
+            1.0, abs(float(obj_enum)))
