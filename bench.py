@@ -695,10 +695,18 @@ def main():
             on_tpu6 = jax.default_backend() == "tpu"
             if not on_tpu6:
                 N6, S6 = 24, 4          # CPU smoke: path, not the number
+            bs6 = ((1, max(2, N6 // 3), max(3, 2 * N6 // 3))
+                   if S6 == 8 else (1, max(2, N6 // 2)))
+            # tree-CONSISTENT ω (shared history within information
+            # sets — CLAUDE.md round-4 lesson): i.i.d. paths make
+            # shared-δ assignments near-infeasible and probes never
+            # land (measured here: found=False at probe_iters=8000)
+            from pyhybridcontrol_tpu.ops.scenario_tree import (
+                tree_consistent_paths)
+
             tree_l = ScenarioTree.from_branching(
-                rng6.normal(0.0, 0.2, size=(S6, N6, 1)),
-                branch_steps=(1, max(2, N6 // 3), max(3, 2 * N6 // 3))
-                if S6 == 8 else (1, max(2, N6 // 2)))
+                tree_consistent_paths(rng6, S6, N6, bs6, sd=0.2),
+                branch_steps=bs6)
             nv6 = omega_di.info.nv
             A_v = np.zeros((1, N6 * nv6))
             A_v[0, 0::nv6] = 1.0        # Σ_k u_k ≤ budget
@@ -710,8 +718,11 @@ def main():
                 extra=(A_v, np.array([60.0]), None, None))
             ql, ll, ul = assemble_stagewise_tree(swt_l, x0_6)
             ext_u6 = assemble_stagewise_tree_ext(swt_l, x0_6)
+            # probe_iters 1000: consensus probes certify at 1000 and
+            # fail at 300 on this instance (CPU calibration; consensus
+            # leaves converge slowly — CLAUDE.md)
             spec6 = BnbSpec(capacity=64, wave_size=8, max_waves=6,
-                            qp_iters=150, probe_iters=300, gap=1e-3)
+                            qp_iters=150, probe_iters=1000, gap=1e-3)
 
             def solve6(q_):
                 return solve_tree_miqp_stagewise(

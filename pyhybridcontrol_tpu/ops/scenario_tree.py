@@ -176,6 +176,34 @@ def build_scenario_tree_qp(cmpc: CondensedMpc, tree: ScenarioTree,
     return joint
 
 
+def tree_consistent_paths(rng, S: int, N: int,
+                          branch_steps: Sequence[int], sd: float = 0.1,
+                          nomega: int = 1) -> np.ndarray:
+    """Disturbance paths that share HISTORY within information sets —
+    the defining property of a real scenario tree (branching happens
+    when new information arrives). Measured (round 4, CLAUDE.md):
+    i.i.d. paths that differ INSIDE an information set make shared-δ
+    assignments near-infeasible (δ indicates the region of a state the
+    set members no longer share), so rounding probes never land — even
+    8000-iteration consensus probes fail on an N=120 tree — while
+    consistent prefixes make every set's states identical and the tree
+    solves like its deterministic core. Returns (S, N, nomega) ordered
+    depth-first (leaf index = scenario index), matching
+    ``ScenarioTree.from_branching``'s assumption."""
+    paths = np.zeros((S, N, nomega))
+    bs = sorted(branch_steps)
+    segs = [0] + list(bs) + [N]
+    nb = len(bs)
+    bf = round(S ** (1.0 / nb)) if nb else 1
+    for lvl in range(len(segs) - 1):
+        k0, k1 = segs[lvl], segs[lvl + 1]
+        groups = bf ** lvl
+        draw = rng.normal(0.0, sd, (groups, k1 - k0, nomega))
+        for s in range(S):
+            paths[s, k0:k1] = draw[s // (S // groups)]
+    return paths
+
+
 def tree_price_seq(tree: ScenarioTree, price_seq: np.ndarray) -> np.ndarray:
     """Probability-weighted per-step linear costs for the joint frame:
     (N, nv) single-scenario prices → (S·N, nv)."""

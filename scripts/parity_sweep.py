@@ -257,6 +257,45 @@ def main():
         model=None, w=None, N=8, x0=x0_di, instances=6,
         batch_solve=_pooled_batch)
 
+    def _pooled_tree_batch(n_inst):
+        """Dense-joint scenario trees through the POOLED driver
+        (solver/bnb_pooled.py ``branch_map`` rep-map branching, round
+        5): a batch of tree MIQPs in ONE global pool — one branching
+        decision fixes every member copy of an information set — vs the
+        fp64 enumeration oracle on each joint problem."""
+        from pyhybridcontrol_tpu.control.mpc import MpcController
+
+        tree = _tree_instance()
+        ctrl = MpcController(omega_di, 4, default_weights())
+        ctrl.set_scenario_tree(tree)
+        ctrl.bnb_spec = BnbSpec(capacity=512, wave_size=32,
+                                qp_iters=600, probe_iters=3000,
+                                max_waves=48)
+        x0s = np.stack([x0_di().astype(np.float32)
+                        for _ in range(n_inst)])
+        res = ctrl.feedback_batch(jnp.asarray(x0s), engine="pooled",
+                                  pooled_wave=128, pool_slots=1024)
+        joint = build_scenario_tree_qp(
+            CondensedMpc(omega_di, 4, default_weights()), tree)
+        W = np.asarray(tree.omega_paths, np.float64).reshape(8, 1)
+        rows = []
+        for i in range(n_inst):
+            fo, ho = joint.assemble_np(x0s[i], W)
+            orc = solve_miqp_enumeration_oracle(
+                joint.H, fo, joint.G, ho, joint.lb, joint.ub,
+                joint.binary_idx)
+
+            class _R:
+                obj = float(res.obj[i])
+                found = bool(res.found[i])
+                nodes_solved = int(res.nodes[i])
+            rows.append((x0s[i], _R, orc))
+        return rows
+
+    families["di_tree_pooled_S2"] = dict(
+        model=None, w=None, N=4, x0=x0_di, instances=3,
+        batch_solve=_pooled_tree_batch)
+
     def _stagewise_parallel(x0, _pq):
         """Stagewise B&B with the log-depth associative-scan K sweeps
         (parallel_sweeps=True) vs the condensed-frame oracle. The

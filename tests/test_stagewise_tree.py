@@ -152,26 +152,13 @@ def test_controller_stagewise_tree(tree_prob):
 
 
 def _tree_consistent_paths(rng, S, N, branch_steps, sd=0.1):
-    """Disturbance paths that share HISTORY within information sets —
-    the defining property of a real scenario tree (branching happens
-    when new information arrives). Measured (round 4): i.i.d. paths
-    that differ INSIDE an information set make shared-δ assignments
-    near-infeasible (δ indicates the region of a state the set members
-    no longer share), so rounding probes never land and relaxations go
-    heavily fractional; with consistent prefixes, states are identical
-    within every set and the tree solves like its deterministic core."""
-    paths = np.zeros((S, N, 1))
-    bs = sorted(branch_steps)
-    segs = [0] + bs + [N]
-    nb = len(bs)
-    bf = round(S ** (1.0 / nb))
-    for lvl in range(len(segs) - 1):
-        k0, k1 = segs[lvl], segs[lvl + 1]
-        groups = bf ** lvl
-        draw = rng.normal(0.0, sd, (groups, k1 - k0, 1))
-        for s in range(S):
-            paths[s, k0:k1] = draw[s // (S // groups)]
-    return paths
+    """Promoted to the public API (round 5 — the bench's N=120 tree
+    reproduced the i.i.d.-path probe-starvation failure verbatim):
+    ops/scenario_tree.tree_consistent_paths is the implementation."""
+    from pyhybridcontrol_tpu.ops.scenario_tree import (
+        tree_consistent_paths)
+
+    return tree_consistent_paths(rng, S, N, branch_steps, sd=sd)
 
 
 @pytest.mark.slow
