@@ -144,6 +144,7 @@ _SPREAD_TARGET_PCT = {
     "config3_thermal_uc": 14.0,
     "config4_scenario_batch": 12.0,
     "config4b_dewh_loop": 10.0,
+    "config4c_tree_batch": 30.0,
     "config6_stagewise_tree": 30.0,
 }
 
@@ -626,6 +627,60 @@ def main():
 
     if have_budget("config4b_dewh_loop"):
         _run_section(details, "config4b_dewh_loop", _sec_config4b,
+                     args.inject_error, budget_left=budget_left)
+
+    # ---- config 4c: batched scenario-TREE MIQPs through the pool ---------
+    # VERDICT r4 item 7's bench arm: 256 instances x S=4 trees, each
+    # tree ONE MIQP of the dense joint frame in the global pool with
+    # rep-map branching (solver/bnb_pooled.py branch_map) — the
+    # engine x capability combination that previously fell back to the
+    # 3.5x-slower vmap path.
+    def _sec_config4c():
+            from pyhybridcontrol_tpu.control.mpc import MpcController
+            from pyhybridcontrol_tpu.mld.info import MldInfo
+            from pyhybridcontrol_tpu.mld.model import MldModel
+            from pyhybridcontrol_tpu.ops.scenario_tree import (
+                ScenarioTree, tree_consistent_paths)
+
+            _m = model.numpy_mats()
+            omega_di = MldModel.from_matrices(
+                MldInfo(nx=2, nu=1, ndelta=1, nz=1, nomega=1, ny=2,
+                        ncons=model.info.ncons),
+                A=_m.A, B1=_m.B1, B3=_m.B3,
+                B4=np.array([[0.0], [1.0]]),
+                C=_m.C, E=_m.E, F1=_m.F1, F2=_m.F2, F3=_m.F3, f5=_m.f5)
+            rng4c = np.random.default_rng(13)
+            S4c, N4c = 4, 10
+            B4c = 256 if jax.default_backend() == "tpu" else 32
+            tree4c = ScenarioTree.from_branching(
+                tree_consistent_paths(rng4c, S4c, N4c, (1, 5), sd=0.2),
+                branch_steps=(1, 5))
+            ctrl = MpcController(omega_di, N4c, default_weights())
+            ctrl.set_scenario_tree(tree4c)
+            from pyhybridcontrol_tpu.solver.bnb import BnbSpec as _BS
+            ctrl.bnb_spec = _BS(capacity=1024, wave_size=64,
+                                max_waves=64, qp_iters=100,
+                                probe_iters=400, probe_patience=3)
+            x4c = jnp.asarray(
+                rng4c.normal(size=(B4c, 2)).astype(np.float32))
+
+            def solve4c(xs):
+                return ctrl.feedback_batch(xs, engine="pooled",
+                                           pooled_wave=1024,
+                                           pool_slots=8 * B4c)
+            dt, r4c = _timeit(solve4c, x4c, reps=3)
+            details["config4c_tree_batch"] = dict(
+                **_band(), batch=B4c, S=S4c, N=N4c, engine="pooled",
+                branching="rep-map",
+                wave_path=("pallas" if jax.default_backend() == "tpu"
+                           else "xla"),
+                tree_miqp_per_s=round(B4c / dt, 1),
+                found_frac=float(np.mean(np.asarray(r4c.found))),
+                mean_obj=round(float(np.mean(np.asarray(r4c.obj))), 4))
+
+    if have_budget("config4c_tree_batch",
+                   floor=(120 if cache_warm else 600)):
+        _run_section(details, "config4c_tree_batch", _sec_config4c,
                      args.inject_error, budget_left=budget_left)
 
     # ---- config 6: stagewise-tree long-horizon MIQP on device ------------
