@@ -1,7 +1,8 @@
 """Benchmark harness (BASELINE.md): prints ONE JSON line with the
 north-star metric — relaxed-QP solves/s/chip at horizon N=20 (target
-≥ 10,000) — and writes the full per-config measurement set (configs 1–5
-+ parity delta) to BENCH_DETAILS.json.
+≥ 10,000) — and writes the full per-config measurement set (configs
+1–6 incl. the 4b closed-loop fleet, 4c pooled tree batch and 6
+long-horizon stagewise tree, + parity delta) to BENCH_DETAILS.json.
 
 Crash isolation (round-3, after the round-2 driver bench died in its
 LAST section and lost the whole artifact): every config section runs in
